@@ -1,0 +1,190 @@
+"""Compile a :class:`GraphIR` into a single jitted JAX function.
+
+Where the reference walks the graph op-by-op through the TFLite interpreter
+(``lib/libbackscrub.cc:307`` -> ``Interpreter::Invoke``), we trace the whole
+graph once into one XLA program: every conv lands on the MXU, elementwise
+ops fuse into their producers, and there is no per-op dispatch overhead.
+
+Weights are carried in a params pytree (living in HBM as device arrays)
+rather than baked into the executable, so they are shared across jit
+specializations (batch sizes, shardings) and can be donated/re-sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tflite.ir import GraphIR
+from ..ops.registry import get_lowering
+# Import for lowering registration side effects.
+from ..ops import conv as _conv, elementwise as _ew, pool as _pool, misc as _misc  # noqa: F401
+
+
+class LoweringCtx:
+    """Per-trace state handed to op lowerings.
+
+    ``get(i)`` returns the traced value of tensor ``i`` (activation or
+    constant); ``get_const(i, prepare=...)`` routes a constant through the
+    params pytree after an optional one-time numpy layout transform;
+    ``const_value(i)`` returns the raw numpy value of a constant needed at
+    trace time (shapes, axes, paddings).
+    """
+
+    def __init__(self, graph: GraphIR, params: Dict[str, jnp.ndarray],
+                 prepared: Dict[str, np.ndarray], compute_dtype, precision,
+                 acc_dtype):
+        self.graph = graph
+        self.params = params          # traced param leaves (inside jit)
+        self.prepared = prepared      # build-time numpy store (first trace only)
+        self.env: Dict[int, Any] = {}
+        self.compute_dtype = compute_dtype
+        self.acc_dtype = acc_dtype
+        self.precision = precision
+
+    def key(self, idx: int) -> str:
+        return f"t{idx}"
+
+    def get(self, idx: int):
+        if idx in self.env:
+            return self.env[idx]
+        t = self.graph.tensor(idx)
+        if t.is_constant:
+            return self.get_const(idx)
+        raise KeyError(f"tensor {t!r} referenced before definition")
+
+    def get_const(self, idx: int, prepare: Optional[Callable] = None):
+        key = self.key(idx)
+        if key not in self.prepared:
+            t = self.graph.tensor(idx)
+            if not t.is_constant:
+                # Activation fed to a weight slot (rare); fall back to env.
+                return self.get(idx)
+            arr = t.data
+            if prepare is not None:
+                arr = prepare(arr)
+            # Keep f16 storage; cast at use site (exact widening on load).
+            if arr.dtype == np.float16 and self.compute_dtype != jnp.bfloat16:
+                store = arr
+            elif np.issubdtype(arr.dtype, np.floating):
+                store = arr.astype(self.compute_dtype)
+            else:
+                store = arr
+            self.prepared[key] = np.ascontiguousarray(store)
+        if key in self.params:
+            val = self.params[key]
+        else:
+            val = jnp.asarray(self.prepared[key])
+        if jnp.issubdtype(val.dtype, jnp.floating) and val.dtype != self.compute_dtype:
+            val = val.astype(self.compute_dtype)
+        return val
+
+    def const_value(self, idx: int) -> np.ndarray:
+        t = self.graph.tensor(idx)
+        if not t.is_constant:
+            raise ValueError(f"tensor {t!r} must be a build-time constant")
+        return t.data
+
+    def set(self, idx: int, val):
+        self.env[idx] = val
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    """A TFLite graph compiled to one jitted NHWC function.
+
+    ``fn(params, x)`` maps a float input batch (N,H,W,C) to the model's
+    output tensor(s).  ``params`` is a flat dict of weight arrays.
+    """
+
+    graph: GraphIR
+    params: Dict[str, jnp.ndarray]
+    fn: Callable                      # (params, x) -> y  (jitted)
+    raw_fn: Callable                  # untraced version, for sharding wrappers
+    input_shape: tuple
+    output_shape: tuple
+    compute_dtype: Any
+
+    def __call__(self, x, params: Optional[Dict[str, jnp.ndarray]] = None):
+        return self.fn(params if params is not None else self.params, x)
+
+
+def fold_constants(graph: GraphIR) -> GraphIR:
+    """Propagate constants through DEQUANTIZE/RESHAPE nodes.
+
+    The f16 models (Meet full/lite, MLKit selfie) wrap every weight in a
+    DEQUANTIZE node (SURVEY.md §2.2: DEQUANT x110).  Folding turns the
+    dequantize output into a constant tensor holding the f16 payload, so conv
+    lowerings see real constants and can apply their build-time layout
+    transforms; the f16->f32 widening happens exactly on parameter load.
+    """
+    nodes: List = []
+    for node in graph.nodes:
+        if node.kind == "DEQUANTIZE" and graph.tensor(node.inputs[0]).is_constant:
+            t_in, t_out = graph.tensor(node.inputs[0]), graph.tensor(node.outputs[0])
+            t_out.data = t_in.data  # keep f16 storage; cast at use
+            continue
+        if node.kind == "RESHAPE" and graph.tensor(node.inputs[0]).is_constant:
+            t_in, t_out = graph.tensor(node.inputs[0]), graph.tensor(node.outputs[0])
+            shape = node.options.get("new_shape") or graph.tensor(node.inputs[1]).data.reshape(-1)
+            t_out.data = t_in.data.reshape([int(s) for s in shape])
+            continue
+        nodes.append(node)
+    return dataclasses.replace(graph, nodes=nodes)
+
+
+def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision, acc_dtype):
+    ctx = LoweringCtx(graph, params, prepared, compute_dtype, precision, acc_dtype)
+    if len(graph.inputs) != 1:
+        raise NotImplementedError("multi-input graphs not supported yet")
+    ctx.set(graph.inputs[0], x.astype(compute_dtype))
+    for node in graph.nodes:
+        get_lowering(node.kind)(ctx, node)
+    outs = [ctx.get(i) for i in graph.outputs]
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def build_model(graph: GraphIR, compute_dtype=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+                acc_dtype=jnp.float32, jit: bool = True) -> CompiledModel:
+    """Build a CompiledModel from IR.
+
+    compute_dtype=jnp.bfloat16 gives the fast path (MXU-native); float32 with
+    ``Precision.HIGHEST`` gives the parity path used by the golden tests
+    (IoU >= 0.99 vs TFLite CPU, SURVEY.md §4).
+    """
+    graph = fold_constants(graph)
+    prepared: Dict[str, np.ndarray] = {}
+
+    # Populate `prepared` with one eager numpy trace (abstract eval): run the
+    # trace with eval_shape so get_const registers every weight without
+    # touching the device.
+    in_t = graph.tensor(graph.inputs[0])
+    x_spec = jax.ShapeDtypeStruct(tuple(in_t.shape), compute_dtype)
+    jax.eval_shape(partial(_trace, graph, {}, prepared,
+                           compute_dtype=compute_dtype, precision=precision,
+                           acc_dtype=acc_dtype), x_spec)
+
+    params = {k: jnp.asarray(v) for k, v in prepared.items()}
+
+    def raw_fn(p, x):
+        return _trace(graph, p, dict(prepared), x, compute_dtype, precision, acc_dtype)
+
+    fn = jax.jit(raw_fn) if jit else raw_fn
+    out_t = graph.tensor(graph.outputs[0])
+    return CompiledModel(
+        graph=graph, params=params, fn=fn, raw_fn=raw_fn,
+        input_shape=tuple(in_t.shape), output_shape=tuple(out_t.shape),
+        compute_dtype=compute_dtype,
+    )
+
+
+def load_model(path: str, **kwargs) -> CompiledModel:
+    """Convenience: path -> CompiledModel."""
+    from ..tflite.loader import load_tflite
+    return build_model(load_tflite(path), **kwargs)

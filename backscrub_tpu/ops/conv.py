@@ -1,0 +1,153 @@
+"""Convolution lowerings: CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED,
+TRANSPOSE_CONV, and the MediaPipe custom op Convolution2DTransposeBias.
+
+All convs run NHWC with HWIO kernels — the layout the TPU MXU wants — via
+``lax.conv_general_dilated``.  Weight layout transforms (TFLite stores conv
+filters OHWI, depthwise filters 1HW(C*M)) happen once at build time in
+numpy, so the compiled program sees MXU-ready kernels.
+
+The custom transposed conv reproduces the reference semantics at
+``lib/transpose_conv_bias.cc:80-111`` (scatter accumulate, OHWI filter) and
+its SAME-padding shape math at ``lib/transpose_conv_bias.cc:171-181``:
+``pad_total = max(0, f - (in-1) % s - 1)``, leading side ``pad_total // 2``,
+``out = s*(in-1) + f - pad_total``.  Here it is expressed as an
+``lhs_dilation`` (fractionally strided) convolution, which XLA maps onto the
+MXU instead of a 6-deep scalar loop nest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .common import apply_activation
+from .registry import register
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_precision(ctx):
+    return ctx.precision
+
+
+@register("CONV_2D")
+def conv2d(ctx, node):
+    x = ctx.get(node.inputs[0])
+    w = ctx.get_const(node.inputs[1], prepare=lambda a: np.transpose(a, (1, 2, 3, 0)))  # OHWI->HWIO
+    o = node.options
+    dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(o["stride_h"], o["stride_w"]),
+        padding=o["padding"],
+        rhs_dilation=dil,
+        dimension_numbers=_DIMNUMS,
+        precision=_conv_precision(ctx),
+        preferred_element_type=ctx.acc_dtype,
+    )
+    if len(node.inputs) > 2 and node.inputs[2] >= 0:
+        y = y + ctx.get_const(node.inputs[2])
+    y = apply_activation(y, o.get("activation"))
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("DEPTHWISE_CONV_2D")
+def depthwise_conv2d(ctx, node):
+    x = ctx.get(node.inputs[0])
+    in_ch = x.shape[-1]
+    o = node.options
+    mult = o.get("depth_multiplier", 1)
+    # TFLite filter (1, fh, fw, in_ch*mult) -> HWIO with I=1, O=in_ch*mult,
+    # grouped with feature_group_count=in_ch.  Output channel c*mult+m maps to
+    # input channel c in both conventions.
+    w = ctx.get_const(node.inputs[1],
+                      prepare=lambda a: np.transpose(a, (1, 2, 0, 3)))  # (fh, fw, 1, C*M)
+    dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(o["stride_h"], o["stride_w"]),
+        padding=o["padding"],
+        rhs_dilation=dil,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=in_ch,
+        precision=_conv_precision(ctx),
+        preferred_element_type=ctx.acc_dtype,
+    )
+    if len(node.inputs) > 2 and node.inputs[2] >= 0:
+        y = y + ctx.get_const(node.inputs[2])
+    y = apply_activation(y, o.get("activation"))
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("FULLY_CONNECTED")
+def fully_connected(ctx, node):
+    x = ctx.get(node.inputs[0])
+    w = ctx.get_const(node.inputs[1], prepare=lambda a: np.transpose(a, (1, 0)))  # (O,K)->(K,O)
+    o = node.options
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    y = jnp.dot(x2, w, precision=_conv_precision(ctx), preferred_element_type=ctx.acc_dtype)
+    if len(node.inputs) > 2 and node.inputs[2] >= 0:
+        y = y + ctx.get_const(node.inputs[2])
+    y = apply_activation(y, o.get("activation"))
+    out_shape = lead + (w.shape[-1],) if o.get("keep_num_dims", False) else (x2.shape[0], w.shape[-1])
+    ctx.set(node.outputs[0], y.reshape(out_shape).astype(x.dtype))
+
+
+def transpose_conv_shape(in_size: int, filter_size: int, stride: int, padding: str):
+    """Output size + (lo, hi) conv padding for the lhs-dilated formulation.
+
+    Matches lib/transpose_conv_bias.cc:171-181 exactly for SAME, and the
+    standard ``s*(in-1)+f`` for VALID.
+    """
+    if padding == "SAME":
+        pad_total = max(0, filter_size - (in_size - 1) % stride - 1)
+    else:
+        pad_total = 0
+    out = stride * (in_size - 1) + filter_size - pad_total
+    p_lead = pad_total // 2  # scatter-side leading pad (Eval: padding_size/2)
+    lo = filter_size - 1 - p_lead
+    # solve: dilated_len + lo + hi - f + 1 == out, dilated_len = s*(in-1)+1
+    hi = out - (stride * (in_size - 1) + 1) - lo + filter_size - 1
+    return out, (lo, hi)
+
+
+def _lower_transpose_conv(ctx, node, x_idx, w_idx, bias_idx, stride_h, stride_w, padding):
+    x = ctx.get(x_idx)
+    # OHWI -> flip HW -> HWIO
+    w = ctx.get_const(w_idx,
+                      prepare=lambda a: np.transpose(a[:, ::-1, ::-1, :], (1, 2, 3, 0)))
+    fh, fw = w.shape[0], w.shape[1]
+    _, pad_h = transpose_conv_shape(x.shape[1], fh, stride_h, padding)
+    _, pad_w = transpose_conv_shape(x.shape[2], fw, stride_w, padding)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=(pad_h, pad_w),
+        lhs_dilation=(stride_h, stride_w),
+        dimension_numbers=_DIMNUMS,
+        precision=_conv_precision(ctx),
+        preferred_element_type=ctx.acc_dtype,
+    )
+    if bias_idx is not None and bias_idx >= 0:
+        y = y + ctx.get_const(bias_idx)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("Convolution2DTransposeBias")
+def conv2d_transpose_bias(ctx, node):
+    # inputs: [data, weights, bias]; options parsed from the raw C struct.
+    o = node.options
+    _lower_transpose_conv(ctx, node, node.inputs[0], node.inputs[1], node.inputs[2],
+                          o["stride_h"], o["stride_w"], o.get("padding", "SAME"))
+
+
+@register("TRANSPOSE_CONV")
+def transpose_conv(ctx, node):
+    # builtin: inputs = [output_shape(const), weights, data, (bias)]
+    o = node.options
+    bias = node.inputs[3] if len(node.inputs) > 3 else None
+    _lower_transpose_conv(ctx, node, node.inputs[2], node.inputs[1], bias,
+                          o["stride_h"], o["stride_w"], o.get("padding", "SAME"))

@@ -1,0 +1,60 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic
+(mesh/pjit/shard_map paths) is exercised without TPU hardware, per the
+project build rules.  Numeric golden tests vs TFLite also want CPU: exact
+f32 convolutions.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import numpy as np
+import pytest
+
+MODELS_DIR = None
+for cand in [
+    pathlib.Path(__file__).resolve().parent.parent / "models",
+    pathlib.Path("/root/reference/models"),
+]:
+    if cand.is_dir() and list(cand.glob("*.tflite")):
+        MODELS_DIR = cand
+        break
+
+ALL_MODELS = [
+    "segm_lite_v681.tflite",
+    "segm_full_v679.tflite",
+    "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+    "deeplabv3_257_mv_gpu.tflite",
+    "body-pix-float-050-8.tflite",
+]
+
+
+def model_path(name: str) -> str:
+    if MODELS_DIR is None:
+        pytest.skip("no .tflite model assets available")
+    p = MODELS_DIR / name
+    if not p.exists():
+        pytest.skip(f"model {name} not available")
+    return str(p)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def tflite_invoke(path: str, x: np.ndarray) -> np.ndarray:
+    """Run TFLite CPU as the golden reference (SURVEY.md §4)."""
+    import tensorflow as tf
+    it = tf.lite.Interpreter(model_path=path)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x.astype(np.float32))
+    it.invoke()
+    return it.get_tensor(it.get_output_details()[0]["index"])
