@@ -1,0 +1,74 @@
+"""Declarative model specs.
+
+The reference infers model "type" by substring-sniffing the filename
+(``lib/libbackscrub.cc:116-130``) and hardcodes normalization per type
+(``:132-148``) and decode rules (``:317-361``).  Here both become data: a
+:class:`ModelSpec` carries the input normalization and the decode rule name;
+the pipeline stays generic.  Filename inference is kept for CLI parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    kind: str                      # "deeplab" | "bodypix" | "meet" | "selfie" | "unknown"
+    scale: float                   # input normalization: x * scale + offset
+    offset: float
+    decode: str                    # "argmax_person" | "threshold" | "two_channel"
+    threshold: float = 0.65        # for decode == "threshold" (libbackscrub.cc:338)
+    person_class: int = 15         # PASCAL-VOC "person" for deeplab (libbackscrub.cc:154-159)
+    num_classes: int = 21
+
+
+_SPECS = {
+    "deeplab": ModelSpec("deeplab", scale=1 / 127.5, offset=-1.0, decode="argmax_person"),
+    "bodypix": ModelSpec("bodypix", scale=1 / 255.0, offset=0.0, decode="threshold"),
+    "meet": ModelSpec("meet", scale=1 / 255.0, offset=0.0, decode="two_channel"),
+    "selfie": ModelSpec("selfie", scale=1 / 255.0, offset=0.0, decode="threshold"),
+    "unknown": ModelSpec("unknown", scale=1 / 255.0, offset=0.0, decode="threshold"),
+}
+
+
+def spec_for_model(model_path: str) -> ModelSpec:
+    """Filename -> spec, mirroring get_modeltype (lib/libbackscrub.cc:116-130)."""
+    name = os.path.basename(model_path)
+    if "body-pix" in name:
+        return _SPECS["bodypix"]
+    if "deeplab" in name:
+        return _SPECS["deeplab"]
+    if "segm_" in name:
+        return _SPECS["meet"]
+    if "selfie" in name:
+        return _SPECS["selfie"]
+    return _SPECS["unknown"]
+
+
+DEFAULT_MODEL = "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite"
+
+_SEARCH_PATHS = [
+    os.environ.get("BACKSCRUB_PATH", ""),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "models"),
+    os.path.join(os.environ.get("XDG_DATA_HOME", os.path.expanduser("~/.local/share")), "backscrub", "models"),
+    "/root/reference/models",
+]
+
+
+def resolve_model_path(name: str) -> str:
+    """Resolve a model name/path, mirroring resolve_path (app/deepseg.cc:292-347):
+    literal path first, then $BACKSCRUB_PATH (colon separated), repo-local
+    ``models/``, XDG data dir, and the mounted reference assets."""
+    if os.path.isabs(name) or os.path.exists(name):
+        return name
+    for base in _SEARCH_PATHS:
+        for b in base.split(":"):
+            if not b:
+                continue
+            cand = os.path.join(b, name)
+            if os.path.exists(cand):
+                return cand
+    raise FileNotFoundError(f"model {name!r} not found in {_SEARCH_PATHS}")

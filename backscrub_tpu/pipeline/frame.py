@@ -1,0 +1,129 @@
+"""Whole-frame pipeline: camera frame in, composited YUYV frame out, in ONE
+device dispatch.
+
+This replaces the reference's main-loop hot path (app/deepseg.cc:627-690):
+grab -> mask (worker thread) -> background fetch/blur -> alpha blend ->
+flip -> resize -> RGB2YUYV -> write.  On TPU the entire per-frame compute is
+a single jitted program: u8 frame HBM-in, packed YUYV HBM-out, with the EMA
+mask as donated carried state.  Host code does only V4L2 I/O and transfers.
+
+The reference's CalcMask thread (app/deepseg.cc:159-286) decoupled camera
+FPS from model FPS; here JAX async dispatch plus a double-buffered transfer
+ring provides the same overlap without a thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.specs import spec_for_model
+from .decode import decode_val, ema_update
+from .geometry import compute_roi
+from .image import (alpha_blend_u8, flip, gaussian_blur, resize_bilinear,
+                    rgb_to_yuyv)
+from .maskgen import MaskGen, postprocess_mask, preprocess
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    width: int = 640           # capture geometry (app/deepseg.cc:363-364 defaults)
+    height: int = 480
+    out_width: Optional[int] = None   # virtual camera geometry (--vg); None = same
+    out_height: Optional[int] = None
+    blur_strength: int = 0     # -p bgblur:<odd> (app/deepseg.cc:415-437); 0 = off
+    flip_horizontal: bool = False
+    flip_vertical: bool = False
+    use_bilateral: bool = True
+    chroma_order: str = "reference"  # or "yuy2" for spec-correct output
+    correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
+    output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink)
+
+
+class FramePipeline:
+    """End-to-end per-frame program with carried EMA state.
+
+    ``step(frame_bgr_u8, background_bgr_u8)`` -> packed output frame.
+    ``background`` is a full-size BGR u8 frame (static image pre-resized on
+    host, or per-frame video background); pass None to use blur/green modes.
+    """
+
+    def __init__(self, model: str, config: PipelineConfig, *,
+                 compute_dtype=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST):
+        self.cfg = config
+        self.maskgen = MaskGen(model, config.width, config.height,
+                               compute_dtype=compute_dtype, precision=precision,
+                               use_bilateral=config.use_bilateral)
+        self.spec = self.maskgen.spec
+        self.geo = self.maskgen.geo
+        self.precision = precision
+        ow = config.out_width or config.width
+        oh = config.out_height or config.height
+        self.out_geo = (oh, ow)
+        # default background: green screen (app/deepseg.cc:596-603 fallback)
+        self.green = np.zeros((config.height, config.width, 3), np.uint8)
+        self.green[..., 1] = 255
+        self._step_bg = jax.jit(self._make_step(bg_mode="explicit"), donate_argnums=(3,))
+        self._step_blur = jax.jit(self._make_step(bg_mode="blur"), donate_argnums=(2,))
+
+    def _make_step(self, bg_mode: str):
+        cfg = self.cfg
+        geo = self.geo
+        spec = self.spec
+        model = self.maskgen.model
+
+        def compose(params, frame, bg, ema):
+            # --- mask chain (libbackscrub path), fused in the same program
+            x = preprocess(frame, geo, spec, use_bilateral=cfg.use_bilateral,
+                           precision=self.precision)
+            out = model.raw_fn(params, x[None] if x.ndim == 3 else x)
+            out = out[0] if x.ndim == 3 else out
+            val = decode_val(out.astype(jnp.float32), spec)
+            new_ema = ema_update(ema, val)
+            mask = postprocess_mask(new_ema, geo, precision=self.precision)
+
+            # --- background (app/deepseg.cc:645-658)
+            if bg_mode == "blur":
+                bg_frame = frame
+            else:
+                bg_frame = bg
+            if cfg.blur_strength:
+                bg_f = gaussian_blur(bg_frame.astype(jnp.float32), cfg.blur_strength)
+                bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
+
+            # --- composite + output conversion (app/deepseg.cc:661-681)
+            comp = alpha_blend_u8(bg_frame, frame, mask)
+            comp = flip(comp, cfg.flip_horizontal, cfg.flip_vertical)
+            oh, ow = self.out_geo
+            if (oh, ow) != (cfg.height, cfg.width):
+                comp = jnp.clip(jnp.round(resize_bilinear(
+                    comp.astype(jnp.float32), oh, ow, precision=self.precision)),
+                    0, 255).astype(jnp.uint8)
+            if cfg.output_format == "bgr":
+                return comp, mask, new_ema
+            src = comp[..., ::-1] if cfg.correct_colors else comp
+            yuyv = rgb_to_yuyv(src, chroma_order=cfg.chroma_order)
+            return yuyv, mask, new_ema
+
+        if bg_mode == "blur":
+            return lambda params, frame, ema: compose(params, frame, None, ema)
+        return compose
+
+    def step(self, frame_bgr_u8, background_bgr_u8=None):
+        """Process one frame; returns (packed_frame, mask) as device arrays."""
+        frame = jnp.asarray(frame_bgr_u8)
+        params = self.maskgen.model.params
+        if background_bgr_u8 is None and self.cfg.blur_strength:
+            out, mask, self.maskgen.ema = self._step_blur(params, frame, self.maskgen.ema)
+        else:
+            bg = jnp.asarray(self.green if background_bgr_u8 is None else background_bgr_u8)
+            out, mask, self.maskgen.ema = self._step_bg(params, frame, bg, self.maskgen.ema)
+        return out, mask
+
+    def reset(self):
+        self.maskgen.reset()

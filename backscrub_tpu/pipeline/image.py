@@ -1,0 +1,252 @@
+"""Device-side image ops, replacing the reference's OpenCV/scalar-loop stages.
+
+Every op here is pure jax.numpy on NHWC/HWC tensors, designed to live inside
+one jitted frame program (XLA fuses the elementwise chains; the resizes ride
+the MXU as interpolation-matrix contractions).  Reference counterparts:
+
+- resize (cv::resize INTER_LINEAR)            lib/libbackscrub.cc:289,368
+- BGR<->RGB                                    lib/libbackscrub.cc:290
+- bilateral filter d=5 sigma=100,100           lib/libbackscrub.cc:297
+- u8 -> f32 normalize                          lib/libbackscrub.cc:302
+- 5x5 box blur (cv::blur)                      lib/libbackscrub.cc:371
+- Gaussian background blur                     app/deepseg.cc:658
+- alpha blend (integer, /255)                  app/deepseg.cc:108-134
+- RGB -> YUYV pack (fixed point + interleave)  app/deepseg.cc:87-106
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.misc import resize_matrix
+
+
+# ---------------------------------------------------------------------------
+# resize
+
+
+def resize_bilinear(x, out_h: int, out_w: int, precision=None):
+    """cv::resize INTER_LINEAR equivalent (half-pixel centers) on (..., H, W, C).
+
+    Separable: two dense interpolation-matrix contractions (MXU-friendly).
+    Compute in float; callers round once when returning to u8.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    ah = jnp.asarray(resize_matrix(h, out_h, False, True), dt)
+    aw = jnp.asarray(resize_matrix(w, out_w, False, True), dt)
+    y = jnp.einsum("oh,...hwc->...owc", ah, x.astype(dt), precision=precision)
+    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=precision)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# bilateral filter
+
+
+def _bilateral_taps(d: int = 5, sigma_space: float = 100.0):
+    """OpenCV tap set: square window of radius d//2, masked to r <= radius."""
+    radius = d // 2
+    taps = []
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            r2 = i * i + j * j
+            if math.sqrt(r2) > radius:
+                continue
+            taps.append((i, j, math.exp(-0.5 * r2 / (sigma_space ** 2))))
+    return taps
+
+
+def bilateral5(rgb_f32, sigma_color: float = 100.0, sigma_space: float = 100.0):
+    """cv::bilateralFilter(d=5, sigmaColor=100, sigmaSpace=100) equivalent.
+
+    Matches OpenCV semantics: circular 13-tap window, color distance is the
+    L1 norm over channels, weights exp(-0.5 d^2 / sigma^2), reflect-101
+    border.  Input float32 (..., H, W, 3) holding u8-range values.
+    """
+    taps = _bilateral_taps(5, sigma_space)
+    radius = 2
+    pad = [(0, 0)] * (rgb_f32.ndim - 3) + [(radius, radius), (radius, radius), (0, 0)]
+    xp = jnp.pad(rgb_f32, pad, mode="reflect")
+    h, w = rgb_f32.shape[-3], rgb_f32.shape[-2]
+    inv2sc = -0.5 / (sigma_color ** 2)
+    num = jnp.zeros_like(rgb_f32)
+    den = jnp.zeros(rgb_f32.shape[:-1] + (1,), rgb_f32.dtype)
+    center = xp[..., radius:radius + h, radius:radius + w, :]
+    for (di, dj, sw) in taps:
+        nb = xp[..., radius + di:radius + di + h, radius + dj:radius + dj + w, :]
+        cdist = jnp.sum(jnp.abs(nb - center), axis=-1, keepdims=True)
+        wgt = sw * jnp.exp(inv2sc * cdist * cdist)
+        num = num + wgt * nb
+        den = den + wgt
+    return num / den
+
+
+# ---------------------------------------------------------------------------
+# separable fixed-kernel blurs
+
+
+def _sep_filter(x, kh: np.ndarray, kw: np.ndarray):
+    """Apply a separable filter with reflect-101 border on (..., H, W, C) float."""
+    rh, rw = len(kh) // 2, len(kw) // 2
+    pad = [(0, 0)] * (x.ndim - 3) + [(rh, rh), (rw, rw), (0, 0)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    h, w = x.shape[-3], x.shape[-2]
+    acc = 0.0
+    for i, kv in enumerate(kh):
+        acc = acc + kv * xp[..., i:i + h, :, :]
+    xp2 = acc
+    acc = 0.0
+    for j, kv in enumerate(kw):
+        acc = acc + kv * xp2[..., :, j:j + w, :]
+    return acc
+
+
+def box_blur(x, ksize: int = 5):
+    """cv::blur(k x k) equivalent on float input (reference: 5x5 at lib/libbackscrub.cc:371)."""
+    k = np.full(ksize, 1.0 / ksize, np.float32)
+    return _sep_filter(x, k, k)
+
+
+_SMALL_GAUSSIAN = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
+def gaussian_kernel(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv::getGaussianKernel: fixed small-kernel table for ksize<=7 with
+    sigma<=0, else sigma = 0.3*((k-1)*0.5 - 1) + 0.8."""
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
+        return np.asarray(_SMALL_GAUSSIAN[ksize], np.float32)
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    xs = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x, ksize: int, sigma: float = 0.0):
+    """cv::GaussianBlur(k x k, sigma=0) equivalent (app/deepseg.cc:658 bgblur)."""
+    k = gaussian_kernel(ksize, sigma)
+    return _sep_filter(x, k, k)
+
+
+# ---------------------------------------------------------------------------
+# compositing
+
+
+def alpha_blend_u8(srca_u8, srcb_u8, mask_u8):
+    """Exact integer blend from app/deepseg.cc:108-134.
+
+    mask 255 => srca (background), 0 => srcb (camera);
+    out = (a*m + b*(255-m)) / 255 with C integer (truncating) division.
+    """
+    a = srca_u8.astype(jnp.int32)
+    b = srcb_u8.astype(jnp.int32)
+    m = mask_u8.astype(jnp.int32)
+    if m.ndim == a.ndim - 1:
+        m = m[..., None]
+    return ((a * m + b * (255 - m)) // 255).astype(jnp.uint8)
+
+
+def flip(x, horizontal: bool = False, vertical: bool = False):
+    """cv::flip equivalents (app/deepseg.cc:667-673); W axis = -2, H axis = -3."""
+    if horizontal:
+        x = jnp.flip(x, axis=-2)
+    if vertical:
+        x = jnp.flip(x, axis=-3)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# YUV packing (bit-exact vs OpenCV + the reference's interleave)
+
+# OpenCV 8-bit RGB2YUV fixed-point constants (verified bit-exact in tests):
+# Y = descale(4899 R + 9617 G + 1868 B, 14)
+# U = clamp(descale(8061 (B - Y) + (128<<14), 14))
+# V = clamp(descale(14369 (R - Y) + (128<<14), 14))
+_Y_R, _Y_G, _Y_B = 4899, 9617, 1868
+_U_C, _V_C = 8061, 14369
+
+
+def _descale(x, n: int = 14):
+    return (x + (1 << (n - 1))) >> n
+
+
+def rgb_to_yuv_u8(rgb_u8):
+    """cv::cvtColor(RGB2YUV) bit-exact, (..., H, W, 3) u8 -> u8."""
+    p = rgb_u8.astype(jnp.int32)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = _descale(r * _Y_R + g * _Y_G + b * _Y_B)
+    u = jnp.clip(_descale((b - y) * _U_C + (128 << 14)), 0, 255)
+    v = jnp.clip(_descale((r - y) * _V_C + (128 << 14)), 0, 255)
+    return jnp.stack([y, u, v], axis=-1).astype(jnp.uint8)
+
+
+def rgb_to_yuyv(rgb_u8, chroma_order: str = "reference"):
+    """RGB -> packed 4:2:2, matching convert_rgb_to_yuyv (app/deepseg.cc:87-106).
+
+    Chroma of each horizontal pixel pair is averaged with truncating /2.
+    ``chroma_order="reference"`` reproduces the reference byte order
+    [Y0, V, Y1, U] (deepseg.cc:97-104 stores v at offset 1 and u at offset 3);
+    ``"yuy2"`` emits the standard [Y0, U, Y1, V].
+    Returns (..., H, W, 2) u8, i.e. the 2-bytes-per-pixel YUYV plane.
+    """
+    yuv = rgb_to_yuv_u8(rgb_u8).astype(jnp.int32)
+    y = yuv[..., 0]
+    u = yuv[..., 1]
+    v = yuv[..., 2]
+    u_avg = (u[..., 0::2] + u[..., 1::2]) // 2
+    v_avg = (v[..., 0::2] + v[..., 1::2]) // 2
+    h, w = y.shape[-2], y.shape[-1]
+    if chroma_order == "reference":
+        c0, c1 = v_avg, u_avg
+    else:
+        c0, c1 = u_avg, v_avg
+    # pairs: [Y0, c0, Y1, c1] -> (..., H, W/2, 4) -> (..., H, W, 2)
+    quad = jnp.stack([y[..., 0::2], c0, y[..., 1::2], c1], axis=-1)
+    return quad.reshape(quad.shape[:-2] + (w, 2)).astype(jnp.uint8)
+
+
+def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2"):
+    """Packed 4:2:2 -> RGB u8 (capture-side decode).
+
+    Exact inverse of the 0.492/0.877 analog-YUV forward used by
+    cv::COLOR_RGB2YUV: R = Y + V'/0.877, B = Y + U'/0.492,
+    G = (Y - 0.299 R - 0.114 B) / 0.587 (U' = U-128, V' = V-128).
+    """
+    q = yuyv_u8.astype(jnp.int32)
+    h, w2 = q.shape[-3], q.shape[-2]
+    quad = q.reshape(q.shape[:-3] + (h, w2 // 2, 4))
+    y0, c0, y1, c1 = quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
+    if chroma_order == "reference":
+        v, u = c0, c1
+    else:
+        u, v = c0, c1
+    y = jnp.stack([y0, y1], axis=-1).reshape(q.shape[:-3] + (h, w2))
+    u = jnp.repeat(u, 2, axis=-1)
+    v = jnp.repeat(v, 2, axis=-1)
+    ud = u - 128
+    vd = v - 128
+    # 1/0.877*16384=18682, 1/0.492*16384=33301,
+    # 0.299/(0.877*0.587)*16384=9516, 0.114/(0.492*0.587)*16384=6467
+    r = y + _descale(vd * 18682)
+    g = y + _descale(ud * -6467 + vd * -9516)
+    b = y + _descale(ud * 33301)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+
+
+def normalize_u8(x_u8, scale: float, offset: float, dtype=jnp.float32):
+    """u8 -> float with per-model scaling (lib/libbackscrub.cc:302)."""
+    return x_u8.astype(dtype) * dtype(scale) + dtype(offset)

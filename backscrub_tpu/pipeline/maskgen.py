@@ -1,0 +1,167 @@
+"""Mask generation: the TPU equivalent of bs_maskgen_new/process/delete.
+
+The reference pipeline (``lib/libbackscrub.cc:279-372``) is: ROI crop ->
+resize -> BGR2RGB -> bilateral filter -> normalize -> CNN -> per-model
+decode with temporal EMA -> upscale -> 5x5 box blur, with the EMA mask as
+cross-frame state.  Here the whole chain is ONE jitted XLA program; the EMA
+state is a donated device buffer, so steady-state processing is
+HBM-in/HBM-out with no host round-trips.
+
+Mask semantics (unchanged): u8, 0 = person (keep camera pixel), 255 =
+background (replace); area outside the aspect-ratio ROI is always 255.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph.executor import CompiledModel, load_model
+from ..models.specs import ModelSpec, resolve_model_path, spec_for_model
+from .decode import decode_val, ema_update
+from .geometry import RoiGeometry, compute_roi
+from .image import bilateral5, box_blur, normalize_u8, resize_bilinear
+
+
+def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
+               use_bilateral: bool = True, precision=None, dtype=jnp.float32):
+    """Frame (..., H, W, 3) BGR u8 -> model input (..., in_h, in_w, 3) float."""
+    r = geo.roi
+    roi = frame_bgr_u8[..., r.y:r.y + r.h, r.x:r.x + r.w, :]
+    small = resize_bilinear(roi.astype(dtype), geo.in_roi.h, geo.in_roi.w,
+                            precision=precision)
+    # quantize back to u8 grid: the reference resizes in u8 before filtering
+    small = jnp.round(small)
+    # letterbox into the model canvas (margins black, libbackscrub.cc:250,288)
+    ix = geo.in_roi.x
+    pad = [(0, 0)] * (small.ndim - 3) + [(geo.in_roi.y, geo.model_in_h - geo.in_roi.y - geo.in_roi.h),
+                                         (ix, geo.model_in_w - ix - geo.in_roi.w), (0, 0)]
+    canvas = jnp.pad(small, pad)
+    rgb = canvas[..., ::-1]  # BGR -> RGB (libbackscrub.cc:290)
+    if use_bilateral:
+        rgb = jnp.round(bilateral5(rgb))  # u8-domain filter (libbackscrub.cc:297)
+    return rgb * dtype(spec.scale) + dtype(spec.offset)
+
+
+def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None):
+    """EMA mask (..., oh, ow) u8 -> full-frame mask (..., H, W) u8.
+
+    Crop the model-output ROI, upscale to the frame ROI, 5x5 box blur, and
+    embed in an all-255 canvas (libbackscrub.cc:366-371 + mask init :248).
+    """
+    o = geo.out_roi
+    small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
+    small_f = small.astype(jnp.float32)[..., None]
+    up = resize_bilinear(small_f, geo.roi.h, geo.roi.w, precision=precision)
+    blurred = box_blur(up, 5)
+    m = jnp.clip(jnp.round(blurred[..., 0]), 0, 255).astype(jnp.uint8)
+    r = geo.roi
+    pad = [(0, 0)] * (m.ndim - 2) + [(r.y, geo.frame_h - r.y - r.h),
+                                     (r.x, geo.frame_w - r.x - r.w)]
+    return jnp.pad(m, pad, constant_values=255)
+
+
+class MaskGen:
+    """bs_maskgen_new equivalent (lib/libbackscrub.h:31-39 API surface).
+
+    Parameters mirror the C API (model path, frame geometry, debug/stage
+    callbacks); ``process`` mirrors bs_maskgen_process.  Callbacks fire
+    per-stage only in ``fused=False`` mode — the fused mode runs the whole
+    chain in one dispatch, so there are no host-visible stage boundaries
+    (the timing seam moves to jax.profiler traces).
+    """
+
+    def __init__(self, model: str, width: int, height: int, *,
+                 compute_dtype=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST,
+                 use_bilateral: bool = True,
+                 fused: bool = True,
+                 onprep: Optional[Callable] = None,
+                 oninfer: Optional[Callable] = None,
+                 onmask: Optional[Callable] = None,
+                 ondebug: Optional[Callable] = None):
+        self.model_path = resolve_model_path(model)
+        self.spec = spec_for_model(self.model_path)
+        self.model: CompiledModel = load_model(self.model_path,
+                                               compute_dtype=compute_dtype,
+                                               precision=precision)
+        ih, iw = self.model.input_shape[1:3]
+        oh, ow = self.model.output_shape[1:3]
+        self.geo = compute_roi(width, height, iw, ih, ow, oh)
+        self.precision = precision
+        self.use_bilateral = use_bilateral
+        self.fused = fused
+        self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
+        self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+
+        def _step(params, frame, ema):
+            x = preprocess(frame, self.geo, self.spec,
+                           use_bilateral=self.use_bilateral,
+                           precision=self.precision, dtype=jnp.float32)
+            out = self.model.raw_fn(params, x[None] if x.ndim == 3 else x)
+            out = out[0] if x.ndim == 3 else out
+            val = decode_val(out.astype(jnp.float32), self.spec)
+            new_ema = ema_update(ema, val)
+            mask = postprocess_mask(new_ema, self.geo, precision=self.precision)
+            return mask, new_ema
+
+        self._step = jax.jit(_step, donate_argnums=(2,))
+        # split stages for callback/debug mode
+        self._pre = jax.jit(lambda frame: preprocess(
+            frame, self.geo, self.spec, use_bilateral=self.use_bilateral,
+            precision=self.precision))
+        self._infer = jax.jit(lambda params, x: self.model.raw_fn(params, x[None])[0])
+        self._post = jax.jit(lambda out, ema: self._decode_post(out, ema),
+                             donate_argnums=(1,))
+
+    def _decode_post(self, out, ema):
+        val = decode_val(out.astype(jnp.float32), self.spec)
+        new_ema = ema_update(ema, val)
+        return postprocess_mask(new_ema, self.geo, precision=self.precision), new_ema
+
+    def process(self, frame_bgr_u8) -> np.ndarray:
+        """Frame (H, W, 3) BGR u8 -> mask (H, W) u8. bs_maskgen_process equivalent."""
+        frame = jnp.asarray(frame_bgr_u8)
+        if self.fused:
+            mask, self.ema = self._step(self.model.params, frame, self.ema)
+            return np.asarray(mask)
+        x = self._pre(frame)
+        if self.onprep:
+            self.onprep()
+        out = self._infer(self.model.params, x)
+        if self.oninfer:
+            self.oninfer()
+        mask, self.ema = self._post(out, self.ema)
+        if self.onmask:
+            self.onmask()
+        return np.asarray(mask)
+
+    def reset(self):
+        oh, ow = self.model.output_shape[1:3]
+        self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+
+
+# C-style aliases preserving the reference API shape (lib/libbackscrub.h:13-39)
+def bs_maskgen_new(model: str, width: int, height: int, **kwargs) -> MaskGen:
+    return MaskGen(model, width, height, **kwargs)
+
+
+def bs_maskgen_process(ctx: MaskGen, frame, out_mask: Optional[np.ndarray] = None):
+    mask = ctx.process(frame)
+    if out_mask is not None:
+        out_mask[...] = mask
+        return True
+    return mask
+
+
+def bs_maskgen_delete(ctx: MaskGen) -> None:
+    ctx.reset()
+
+
+def bs_tensorflow_version() -> str:
+    """API-parity shim for bs_tensorflow_version (lib/libbackscrub.cc:150)."""
+    return f"jax-{jax.__version__}"

@@ -1,0 +1,162 @@
+"""Pipeline tests: decode rules, EMA, ROI geometry, and end-to-end mask IoU
+vs an independent cv2+TFLite implementation of the reference pipeline.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from backscrub_tpu.models.specs import spec_for_model
+from backscrub_tpu.pipeline.decode import decode_val, ema_update
+from backscrub_tpu.pipeline.geometry import compute_roi
+from backscrub_tpu.pipeline.maskgen import MaskGen
+
+from conftest import model_path
+
+SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+
+
+# ---------------------------------------------------------------------------
+# decode + EMA units
+
+
+def test_decode_deeplab(rng):
+    spec = spec_for_model("deeplabv3_257_mv_gpu.tflite")
+    out = rng.standard_normal((4, 4, 21)).astype(np.float32)
+    val = np.asarray(decode_val(jnp.asarray(out), spec))
+    expected = np.where(out.argmax(-1) == 15, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(val, expected)
+
+
+def test_decode_threshold(rng):
+    spec = spec_for_model("selfiesegmentation_x.tflite")
+    out = rng.random((4, 4, 1)).astype(np.float32)
+    val = np.asarray(decode_val(jnp.asarray(out), spec))
+    np.testing.assert_array_equal(val, np.where(out[..., 0] > 0.65, 0, 255).astype(np.uint8))
+
+
+def test_decode_two_channel(rng):
+    spec = spec_for_model("segm_lite_v681.tflite")
+    out = rng.standard_normal((4, 4, 2)).astype(np.float32)
+    val = np.asarray(decode_val(jnp.asarray(out), spec))
+    # softmax p0 < p1 iff logit0 < logit1
+    np.testing.assert_array_equal(val, np.where(out[..., 0] < out[..., 1], 0, 255).astype(np.uint8))
+
+
+def test_ema_bit_trick():
+    prev = np.array([255, 0, 128, 7], np.uint8)
+    val = np.array([0, 255, 255, 0], np.uint8)
+    got = np.asarray(ema_update(jnp.asarray(prev), jnp.asarray(val)))
+    expected = (val & 0xE0) | (prev >> 3)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ema_converges():
+    """Repeated person frames drive the mask to 0, background frames to >= 224."""
+    m = np.full((4,), 255, np.uint8)
+    for _ in range(10):
+        m = np.asarray(ema_update(jnp.asarray(m), jnp.zeros(4, jnp.uint8)))
+    assert m.max() <= 31
+    for _ in range(10):
+        m = np.asarray(ema_update(jnp.asarray(m), jnp.full((4,), 255, np.uint8)))
+    assert m.min() >= 224
+
+
+# ---------------------------------------------------------------------------
+# ROI geometry (libbackscrub.cc:238-246)
+
+
+def test_roi_frame_wider_than_model():
+    # 640x480 frame, square 256 model: centered square column of the frame
+    g = compute_roi(640, 480, 256, 256, 256, 256)
+    assert (g.roi.x, g.roi.y, g.roi.w, g.roi.h) == ((640 - 480) // 2, 0, 480, 480)
+    assert (g.in_roi.x, g.in_roi.y, g.in_roi.w, g.in_roi.h) == (0, 0, 256, 256)
+
+
+def test_roi_model_wider_than_frame():
+    # 640x480 frame (ratio .75), Meet lite 160x96 (ratio .6): letterbox into model
+    g = compute_roi(640, 480, 160, 96, 160, 96)
+    assert (g.roi.x, g.roi.y, g.roi.w, g.roi.h) == (0, 0, 640, 480)
+    w = int(96 / 0.75)
+    assert (g.in_roi.x, g.in_roi.w) == ((160 - w) // 2, w)
+
+
+def test_roi_output_scaling_bodypix():
+    # BodyPix: 257x257 in, 33x33 out; out_roi must live in 33x33 coords
+    g = compute_roi(640, 480, 257, 257, 33, 33)
+    assert g.out_roi.w <= 33 and g.out_roi.h <= 33
+    assert g.out_roi.w == 33  # full width (frame wider than model)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end golden: our fused mask pipeline vs cv2+TFLite reference path
+
+
+def reference_maskgen(path, frames_bgr, width, height, spec):
+    """Independent implementation of bs_maskgen_process semantics
+    (lib/libbackscrub.cc:279-372) with cv2 + TFLite CPU, used as golden."""
+    import tensorflow as tf
+    it = tf.lite.Interpreter(model_path=path)
+    it.allocate_tensors()
+    din = it.get_input_details()[0]
+    dout = it.get_output_details()[0]
+    ih, iw = din["shape"][1:3]
+    oh, ow = dout["shape"][1:3]
+    from backscrub_tpu.pipeline.geometry import compute_roi as _roi
+    g = _roi(width, height, iw, ih, ow, oh)
+    ema = np.full((oh, ow), 255, np.uint8)
+    mask_full = np.full((height, width), 255, np.uint8)
+    for frame in frames_bgr:
+        roi = frame[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w]
+        canvas = np.zeros((ih, iw, 3), np.uint8)
+        canvas[g.in_roi.y:g.in_roi.y + g.in_roi.h, g.in_roi.x:g.in_roi.x + g.in_roi.w] = \
+            cv2.resize(roi, (g.in_roi.w, g.in_roi.h), interpolation=cv2.INTER_LINEAR)
+        rgb = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
+        rgb = cv2.bilateralFilter(rgb, 5, 100.0, 100.0)
+        x = rgb.astype(np.float32) * spec.scale + spec.offset
+        it.set_tensor(din["index"], x[None])
+        it.invoke()
+        out = it.get_tensor(dout["index"])[0]
+        if spec.decode == "argmax_person":
+            val = np.where(out.argmax(-1) == spec.person_class, 0, 255).astype(np.uint8)
+        elif spec.decode == "threshold":
+            val = np.where(out[..., 0] > spec.threshold, 0, 255).astype(np.uint8)
+        else:
+            val = np.where(out[..., 0] < out[..., 1], 0, 255).astype(np.uint8)
+        ema = ((val & 0xE0) | (ema >> 3)).astype(np.uint8)
+        small = ema[g.out_roi.y:g.out_roi.y + g.out_roi.h, g.out_roi.x:g.out_roi.x + g.out_roi.w]
+        up = cv2.resize(small, (g.roi.w, g.roi.h), interpolation=cv2.INTER_LINEAR)
+        up = cv2.blur(up, (5, 5))
+        mask_full[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w] = up
+    return mask_full
+
+
+def iou(a_person, b_person):
+    inter = np.logical_and(a_person, b_person).sum()
+    union = np.logical_or(a_person, b_person).sum()
+    return 1.0 if union == 0 else inter / union
+
+
+@pytest.mark.parametrize("name", [
+    "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+    "segm_lite_v681.tflite",
+    "deeplabv3_257_mv_gpu.tflite",
+])
+def test_mask_iou_vs_reference(name):
+    path = model_path(name)
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("screenshot asset unavailable")
+    frame = cv2.resize(frame, (640, 480))
+    spec = spec_for_model(path)
+    frames = [frame] * 4  # warm the EMA
+    golden = reference_maskgen(path, frames, 640, 480, spec)
+
+    mg = MaskGen(path, 640, 480)
+    for f in frames:
+        ours = mg.process(f)
+    score = iou(ours < 128, golden < 128)
+    assert score >= 0.99, f"mask IoU {score:.4f} < 0.99 for {name}"
