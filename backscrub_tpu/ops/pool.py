@@ -19,23 +19,34 @@ from .registry import register
 def average_pool(ctx, node):
     x = ctx.get(node.inputs[0])
     o = node.options
-    window = (1, o["filter_h"], o["filter_w"], 1)
-    strides = (1, o["stride_h"], o["stride_w"], 1)
+    fh, fw = o["filter_h"], o["filter_w"]
+    sh, sw = o["stride_h"], o["stride_w"]
+    # Global pooling (SE blocks in the Meet/MLKit models, DeepLab ASPP):
+    # a plain mean — differentiable and trivially fused.
+    if o["padding"] == "VALID" and (fh, fw) == (x.shape[1], x.shape[2]):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        ctx.set(node.outputs[0], apply_activation(y, o.get("activation")))
+        return
+    # General case: depthwise conv with a uniform kernel (keeps autodiff and
+    # the MXU path).  TFLite SAME average pooling divides by the count of
+    # valid (unpadded) elements; divide by a ones-image pooled the same way.
+    c = x.shape[-1]
     if o["padding"] == "VALID":
-        pads = [(0, 0)] * 4
+        pads = [(0, 0), (0, 0)]
     else:
-        ph = tflite_same_padding(x.shape[1], o["filter_h"], o["stride_h"])
-        pw = tflite_same_padding(x.shape[2], o["filter_w"], o["stride_w"])
-        pads = [(0, 0), ph, pw, (0, 0)]
-    summed = lax.reduce_window(x, jnp.array(0, x.dtype), lax.add, window, strides,
-                               [(lo, hi) for lo, hi in pads])
+        pads = [tflite_same_padding(x.shape[1], fh, sh),
+                tflite_same_padding(x.shape[2], fw, sw)]
+    kern = jnp.ones((fh, fw, 1, c), x.dtype)
+    dn = ("NHWC", "HWIO", "NHWC")
+    summed = lax.conv_general_dilated(x, kern, (sh, sw), pads,
+                                      dimension_numbers=dn, feature_group_count=c)
     if any(lo or hi for lo, hi in pads):
-        ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-        count = lax.reduce_window(ones, jnp.array(0, x.dtype), lax.add, window, strides,
-                                  [(lo, hi) for lo, hi in pads])
+        ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+        count = lax.conv_general_dilated(ones, jnp.ones((fh, fw, 1, 1), x.dtype),
+                                         (sh, sw), pads, dimension_numbers=dn)
         y = summed / count
     else:
-        y = summed / np.prod([o["filter_h"], o["filter_w"]], dtype=np.float32)
+        y = summed / np.float32(fh * fw)
     ctx.set(node.outputs[0], apply_activation(y, o.get("activation")))
 
 

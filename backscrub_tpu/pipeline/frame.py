@@ -108,6 +108,9 @@ class FramePipeline:
                 return comp, mask, new_ema
             src = comp[..., ::-1] if cfg.correct_colors else comp
             yuyv = rgb_to_yuyv(src, chroma_order=cfg.chroma_order)
+            # flatten to (..., H, 2W) raw bytes: the exact v4l2 write buffer,
+            # and a transfer-friendly device layout (minor dim 2W, not 2)
+            yuyv = yuyv.reshape(yuyv.shape[:-2] + (yuyv.shape[-2] * 2,))
             return yuyv, mask, new_ema
 
         if bg_mode == "blur":
