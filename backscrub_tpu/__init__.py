@@ -1,0 +1,53 @@
+"""backscrub-tpu: TPU-native background replacement framework.
+
+Rebuild of backscrub's capabilities (virtual-webcam person segmentation +
+background replacement) designed for TPU from the ground up: .tflite models
+compile to single XLA programs, the whole per-frame pipeline is one fused
+device dispatch, and scaling happens via a (data, model) device mesh.
+
+Public surface:
+- load_model / CompiledModel       (graph executor)
+- MaskGen, bs_maskgen_* aliases    (reference lib API parity)
+- FramePipeline, PipelineConfig    (whole-frame program)
+- BackgroundSource, sources/sinks  (host I/O)
+- Trainer                          (fine-tuning on meshes)
+"""
+
+import os
+
+__version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first compile of the 241-node model
+    graphs is expensive (especially via remote compile); subsequent processes
+    reuse the serialized executable."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "BACKSCRUB_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "backscrub_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+from .graph.executor import CompiledModel, build_model, load_model  # noqa: E402
+from .models.specs import (DEFAULT_MODEL, ModelSpec, resolve_model_path,  # noqa: E402
+                           spec_for_model)
+from .pipeline.frame import FramePipeline, PipelineConfig  # noqa: E402
+from .pipeline.maskgen import (MaskGen, bs_maskgen_delete, bs_maskgen_new,  # noqa: E402
+                               bs_maskgen_process, bs_tensorflow_version)
+
+__all__ = [
+    "CompiledModel", "build_model", "load_model",
+    "ModelSpec", "spec_for_model", "resolve_model_path", "DEFAULT_MODEL",
+    "FramePipeline", "PipelineConfig",
+    "MaskGen", "bs_maskgen_new", "bs_maskgen_process", "bs_maskgen_delete",
+    "bs_tensorflow_version",
+    "__version__",
+]

@@ -1,0 +1,234 @@
+"""backscrub-compatible CLI.
+
+Flag-compatible with the reference app (usage text at
+app/deepseg.cc:505-530): -? -d -s -c -v -w -h --cg --vg -f -t -b -m
+-p bgblur:<n> -H -V, same defaults (-c /dev/video0, -v /dev/video1,
+640x480, MLKit selfie model, app/deepseg.cc:362-376), same /dev/ prefix
+auto-add (:536-539).  Additions for headless/TPU use: file//test sources,
+file/null sinks, --frames, --bf16, --no-bilateral, --correct-colors.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_geometry(s: str):
+    try:
+        w, h = s.lower().split("x")
+        return int(w), int(h)
+    except ValueError:
+        return None
+
+
+USAGE = """\
+usage:
+  backscrub [-?] [-d] [-s] [-c <capture>] [-v <virtual>] [--cg <width>x<height>]
+    [--vg <width>x<height>] [-t <threads>] [-b <background>] [-m <model>] [-p <option:value>]
+
+-?            Display this usage information
+-d            Increase debug level
+-s            Show progress bar
+-c            Video capture source: /dev/videoN, file:<path>, image, or test:
+-v            Virtual camera sink: /dev/videoN, file:<path.mp4|.yuv>, or null:
+-w            DEPRECATED: Specify the video stream width
+-h            DEPRECATED: Specify the video stream height
+--cg          Capture device geometry as <width>x<height>
+--vg          Virtual camera geometry as <width>x<height>
+-f            Camera video format, i.e. MJPG or 47504A4D
+-t            Threads (accepted for compatibility; XLA manages device compute)
+-b            Background (any local or network OpenCV source)
+-m            Segmentation model (.tflite)
+-p            Add post-processing steps
+-p bgblur:<strength>   Blur the video background
+-H            Mirror the output horizontally
+-V            Mirror the output vertically
+--frames N    Process N frames then exit (0 = run forever)
+--bf16        Run the CNN in bfloat16 (fastest on TPU)
+--no-bilateral  Skip the bilateral prefilter
+--correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
+"""
+
+
+def parse_args(argv: List[str]) -> Optional[dict]:
+    cfg = dict(debug=0, progress=False, ccam="/dev/video0", vcam="/dev/video1",
+               cap_geo=None, vid_geo=None, fourcc="", threads=2,
+               background=None, model="selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+               blur_strength=0, flip_h=False, flip_v=False,
+               width=640, height=480, set_w_or_h=False,
+               frames=0, bf16=False, bilateral=True, correct_colors=False)
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def val():
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                raise ValueError(f"missing value for {a}")
+            return argv[i]
+
+        if a == "-?":
+            return None
+        elif a == "-d":
+            cfg["debug"] += 1
+        elif a == "-s":
+            cfg["progress"] = True
+        elif a == "-H":
+            cfg["flip_h"] = True
+        elif a == "-V":
+            cfg["flip_v"] = True
+        elif a == "-c":
+            cfg["ccam"] = val()
+        elif a == "-v":
+            cfg["vcam"] = val()
+        elif a == "-w":
+            cfg["width"] = int(val()); cfg["set_w_or_h"] = True
+        elif a == "-h":
+            cfg["height"] = int(val()); cfg["set_w_or_h"] = True
+        elif a == "--cg":
+            cfg["cap_geo"] = parse_geometry(val())
+        elif a == "--vg":
+            cfg["vid_geo"] = parse_geometry(val())
+        elif a == "-f":
+            cfg["fourcc"] = val()
+        elif a == "-t":
+            cfg["threads"] = int(val())
+        elif a == "-b":
+            cfg["background"] = val()
+        elif a == "-m":
+            cfg["model"] = val()
+        elif a == "-p":
+            opt = val()
+            if opt.startswith("bgblur:"):
+                n = int(opt.split(":", 1)[1])
+                if n % 2 == 0:
+                    n += 1  # Gaussian kernels must be odd
+                cfg["blur_strength"] = n
+            else:
+                raise ValueError(f"unknown post-processing option {opt!r}")
+        elif a == "--frames":
+            cfg["frames"] = int(val())
+        elif a == "--bf16":
+            cfg["bf16"] = True
+        elif a == "--no-bilateral":
+            cfg["bilateral"] = False
+        elif a == "--correct-colors":
+            cfg["correct_colors"] = True
+        else:
+            raise ValueError(f"unknown argument {a!r}")
+        i += 1
+
+    # deprecated -w/-h vs --cg/--vg interlock (app/deepseg.cc:495-499)
+    if cfg["set_w_or_h"] and (cfg["cap_geo"] or cfg["vid_geo"]):
+        raise ValueError("(DEPRECATED) -w/-h used in conjunction with --cg/--vg")
+    if cfg["cap_geo"] is None:
+        cfg["cap_geo"] = (cfg["width"], cfg["height"])
+    # permit unprefixed device names (app/deepseg.cc:536-539)
+    for key in ("ccam", "vcam"):
+        v = cfg[key]
+        if not any(v.startswith(p) for p in ("/dev/", "file:", "test:", "null:",
+                                             "http://", "https://")) \
+                and not ("." in v or "/" in v):
+            cfg[key] = "/dev/" + v
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        cfg = parse_args(argv)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+    if cfg is None:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    from .io.background import load_background
+    from .io.streams import open_sink, open_source
+    from .models.specs import resolve_model_path
+    from .pipeline.frame import FramePipeline, PipelineConfig
+    from .utils.timing import StageTimer
+    from .pipeline.maskgen import bs_tensorflow_version
+
+    print(f"backscrub-tpu (JAX runtime {bs_tensorflow_version()}, "
+          f"device {jax.devices()[0]})", file=sys.stderr)
+
+    cw, ch = cfg["cap_geo"]
+    source = open_source(cfg["ccam"], cw, ch, cfg["fourcc"])
+    cw, ch = source.width, source.height  # adopt granted geometry
+    vw, vh = cfg["vid_geo"] or (cw, ch)
+
+    model_path = resolve_model_path(cfg["model"])
+    pcfg = PipelineConfig(
+        width=cw, height=ch, out_width=vw, out_height=vh,
+        blur_strength=cfg["blur_strength"],
+        flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
+        use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
+    )
+    pipe = FramePipeline(
+        model_path, pcfg,
+        compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT if cfg["bf16"]
+                   else jax.lax.Precision.HIGHEST),
+    )
+
+    if cfg["debug"]:
+        print(f"model: {model_path}\ncapture: {cfg['ccam']} {cw}x{ch}\n"
+              f"output: {cfg['vcam']} {vw}x{vh}\n"
+              f"background: {cfg['background']}", file=sys.stderr)
+
+    background = load_background(cfg["background"], cfg["debug"]) \
+        if cfg["background"] else None
+    if cfg["background"] and background is None:
+        print("Warning: couldn't load background, using green", file=sys.stderr)
+
+    sink = open_sink(cfg["vcam"], vw, vh)
+    timer = StageTimer()
+    pending = None  # (device_out, ) 2-deep pipeline
+    n = 0
+    try:
+        while cfg["frames"] == 0 or n < cfg["frames"]:
+            timer.start()
+            frame = source.read()
+            if frame is None:
+                break
+            timer.mark("grab")
+            bg = background.grab(cw, ch) if background else None
+            out, _mask = pipe.step(frame, bg)
+            timer.mark("dispatch")
+            if pending is not None:
+                sink.write_yuyv(np.asarray(pending))
+                timer.mark("sink")
+            pending = out
+            n += 1
+            timer.frame_done()
+            if cfg["progress"]:
+                print(".", end="", flush=True)
+            if cfg["debug"] and n % 120 == 0:
+                print(timer.report_line(), file=sys.stderr)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if pending is not None:
+            sink.write_yuyv(np.asarray(pending))
+        source.close()
+        sink.close()
+        if background:
+            background.close()
+    if cfg["progress"]:
+        print()
+    print(f"processed {n} frames ({timer.fps:.1f} fps)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Frame sources and sinks for the CLI.
+
+The reference supports exactly one source (V4L2 camera via OpenCV,
+app/deepseg.cc:543) and one sink (v4l2loopback write, :683).  We keep those
+and add file/URI sources and file/null sinks so the pipeline runs and tests
+headless (no kernel video devices needed).
+
+URI forms for sources:  /dev/video0 | file:video.mp4 | image.png | test:
+Sinks:                  /dev/video1 | file:out.mp4 | file:out.yuv | null:
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class FrameSource:
+    width: int
+    height: int
+
+    def read(self) -> Optional[np.ndarray]:  # BGR u8 or None at EOF
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class CameraSource(FrameSource):
+    """V4L2 camera through the native shim (fallback: OpenCV)."""
+
+    def __init__(self, device: str, width: int, height: int, pixfmt: str = ""):
+        from .v4l2 import V4L2Capture
+        try:
+            self.cap = V4L2Capture(device, width, height, pixfmt)
+            self.width, self.height = self.cap.width, self.cap.height
+            self._native = True
+        except Exception:
+            import cv2
+            cap = cv2.VideoCapture(device, cv2.CAP_V4L2)
+            if not cap.isOpened():
+                raise OSError(f"cannot open camera {device}")
+            if width:
+                cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+            if height:
+                cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+            self.cap = cap
+            self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self._native = False
+
+    def read(self):
+        if self._native:
+            return self.cap.grab_bgr()
+        ok, frame = self.cap.read()
+        return frame if ok else None
+
+    def close(self):
+        self.cap.release() if not self._native else self.cap.close()
+
+
+class FileSource(FrameSource):
+    """Video file / URL / still image source (loops video at EOF)."""
+
+    def __init__(self, path: str, width: int = 0, height: int = 0, loop: bool = True):
+        import cv2
+        self._cv2 = cv2
+        self.loop = loop
+        self._still = None
+        cap = cv2.VideoCapture(path)
+        ok, f1 = cap.read() if cap.isOpened() else (False, None)
+        if not ok:
+            raise OSError(f"cannot open source {path}")
+        ok2, _ = cap.read()
+        if not ok2:  # still image
+            cap.release()
+            self._still = f1
+            self.cap = None
+        else:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            self.cap = cap
+        h, w = f1.shape[:2]
+        self.width = width or w
+        self.height = height or h
+        self._resize = (self.width, self.height) != (w, h)
+
+    def read(self):
+        if self._still is not None:
+            frame = self._still
+        else:
+            ok, frame = self.cap.read()
+            if not ok:
+                if not self.loop:
+                    return None
+                self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
+                ok, frame = self.cap.read()
+                if not ok:
+                    return None
+        if self._resize:
+            frame = self._cv2.resize(frame, (self.width, self.height))
+        return frame
+
+    def close(self):
+        if self.cap is not None:
+            self.cap.release()
+
+
+class SyntheticSource(FrameSource):
+    """Synthetic moving pattern (like the loopback self-test,
+    videoio/loopback.cc:103-144), for headless smoke runs."""
+
+    def __init__(self, width: int = 640, height: int = 480):
+        self.width, self.height = width, height
+        self._i = 0
+
+    def read(self):
+        h, w = self.height, self.width
+        yy, xx = np.mgrid[0:h, 0:w]
+        t = self._i
+        self._i += 1
+        frame = np.stack([
+            ((xx + 2 * t) % 256), ((yy + t) % 256), ((xx + yy + 3 * t) % 256)
+        ], axis=-1).astype(np.uint8)
+        return frame
+
+
+def open_source(uri: str, width: int, height: int, pixfmt: str = "") -> FrameSource:
+    if uri.startswith("test:"):
+        return SyntheticSource(width or 640, height or 480)
+    if uri.startswith("/dev/"):
+        return CameraSource(uri, width, height, pixfmt)
+    if uri.startswith("file:"):
+        uri = uri[5:]
+    return FileSource(uri, width, height)
+
+
+class FrameSink:
+    def write_yuyv(self, yuyv_bytes: np.ndarray):  # (H, 2W) u8
+        raise NotImplementedError
+
+    def write_bgr(self, bgr: np.ndarray):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class LoopbackFrameSink(FrameSink):
+    def __init__(self, device: str, width: int, height: int):
+        from .v4l2 import LoopbackSink
+        self.sink = LoopbackSink(device, width, height)
+
+    def write_yuyv(self, yuyv_bytes):
+        self.sink.write(yuyv_bytes)
+
+    def write_bgr(self, bgr):
+        import cv2
+        yuyv = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_YUY2) if hasattr(cv2, "COLOR_BGR2YUV_YUY2") else None
+        if yuyv is None:
+            raise NotImplementedError("BGR->YUYV host conversion unavailable")
+        self.sink.write(yuyv)
+
+    def close(self):
+        self.sink.close()
+
+
+class FileFrameSink(FrameSink):
+    """.yuv -> raw YUYV append; video extensions -> OpenCV VideoWriter."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0):
+        self.path = path
+        self.width, self.height = width, height
+        if path.endswith((".yuv", ".raw")):
+            self._f = open(path, "wb")
+            self._writer = None
+        else:
+            import cv2
+            four = cv2.VideoWriter_fourcc(*"mp4v")
+            self._writer = cv2.VideoWriter(path, four, fps, (width, height))
+            self._f = None
+            self._cv2 = cv2
+
+    def write_yuyv(self, yuyv_bytes):
+        if self._f is not None:
+            self._f.write(np.ascontiguousarray(yuyv_bytes, np.uint8).tobytes())
+        else:
+            yuyv = np.asarray(yuyv_bytes, np.uint8).reshape(self.height, self.width, 2)
+            bgr = self._cv2.cvtColor(yuyv, self._cv2.COLOR_YUV2BGR_YUY2)
+            self._writer.write(bgr)
+
+    def write_bgr(self, bgr):
+        if self._writer is not None:
+            self._writer.write(np.asarray(bgr, np.uint8))
+        else:
+            raise ValueError("raw .yuv sink needs YUYV frames")
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+        if self._writer is not None:
+            self._writer.release()
+
+
+class NullFrameSink(FrameSink):
+    def __init__(self):
+        self.frames = 0
+
+    def write_yuyv(self, yuyv_bytes):
+        self.frames += 1
+
+    def write_bgr(self, bgr):
+        self.frames += 1
+
+
+def open_sink(uri: str, width: int, height: int, fps: float = 30.0) -> FrameSink:
+    if uri.startswith("null:"):
+        return NullFrameSink()
+    if uri.startswith("/dev/"):
+        return LoopbackFrameSink(uri, width, height)
+    if uri.startswith("file:"):
+        uri = uri[5:]
+    return FileFrameSink(uri, width, height, fps)

@@ -1,0 +1,150 @@
+"""ctypes bindings to the native bsio shim (native/bsio.cc).
+
+Replaces videoio/loopback.{h,cc} (loopback_init/loopback_free + raw write)
+and the reference's OpenCV CAP_V4L2 capture path with a thin C ABI: the
+device pipeline is XLA's job, this layer only moves bytes through kernel
+V4L2 buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    for cand in [
+        os.environ.get("BSIO_LIB", ""),
+        os.path.join(repo, "native", "build", "libbsio.so"),
+        os.path.join(here, "libbsio.so"),
+        "libbsio.so",
+    ]:
+        if cand and (os.path.exists(cand) or os.path.sep not in cand):
+            return cand
+    return None
+
+
+def load_bsio() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = _find_lib()
+    if path is None:
+        raise RuntimeError(
+            "libbsio.so not found — build it with: cmake -S native -B native/build && "
+            "cmake --build native/build")
+    lib = ctypes.CDLL(path)
+    lib.bsio_loopback_init.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.bsio_loopback_init.restype = ctypes.c_int
+    lib.bsio_loopback_write.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+    lib.bsio_loopback_write.restype = ctypes.c_int
+    lib.bsio_loopback_free.argtypes = [ctypes.c_int]
+    lib.bsio_loopback_free.restype = ctypes.c_int
+    lib.bsio_cap_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int), ctypes.c_uint32]
+    lib.bsio_cap_open.restype = ctypes.c_void_p
+    lib.bsio_cap_grab.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.bsio_cap_grab.restype = ctypes.c_int64
+    lib.bsio_cap_pixelformat.argtypes = [ctypes.c_void_p]
+    lib.bsio_cap_pixelformat.restype = ctypes.c_uint32
+    lib.bsio_cap_close.argtypes = [ctypes.c_void_p]
+    lib.bsio_cap_close.restype = ctypes.c_int
+    lib.bsio_version.restype = ctypes.c_char_p
+    _LIB = lib
+    return lib
+
+
+def fourcc(code: str) -> int:
+    """'YUYV' -> packed fourcc int (fourCcFromString, app/deepseg.cc:54-77)."""
+    code = (code.upper() + "    ")[:4]
+    return (ord(code[0]) | (ord(code[1]) << 8) | (ord(code[2]) << 16)
+            | (ord(code[3]) << 24))
+
+
+class LoopbackSink:
+    """v4l2loopback writer: loopback_init/free + framed write()s."""
+
+    def __init__(self, device: str, width: int, height: int):
+        self.lib = load_bsio()
+        self.width, self.height = width, height
+        self.framesize = width * height * 2  # YUYV = 2 bytes/px
+        fd = self.lib.bsio_loopback_init(device.encode(), width, height)
+        if fd < 0:
+            raise OSError(-fd, f"loopback_init({device}) failed: {os.strerror(-fd)}")
+        self.fd = fd
+
+    def write(self, yuyv: np.ndarray) -> None:
+        buf = np.ascontiguousarray(yuyv, dtype=np.uint8)
+        if buf.nbytes != self.framesize:
+            raise ValueError(f"frame is {buf.nbytes} bytes, expected {self.framesize}")
+        rc = self.lib.bsio_loopback_write(self.fd, buf.ctypes.data, buf.nbytes)
+        if rc < 0:
+            raise OSError(-rc, f"loopback write failed: {os.strerror(-rc)}")
+
+    def close(self):
+        if self.fd >= 0:
+            self.lib.bsio_loopback_free(self.fd)
+            self.fd = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class V4L2Capture:
+    """mmap-streaming camera capture with latest-frame-wins dequeue."""
+
+    def __init__(self, device: str, width: int = 0, height: int = 0,
+                 pixfmt: str = ""):
+        self.lib = load_bsio()
+        w = ctypes.c_int(width)
+        h = ctypes.c_int(height)
+        self.handle = self.lib.bsio_cap_open(device.encode(), ctypes.byref(w),
+                                             ctypes.byref(h),
+                                             fourcc(pixfmt) if pixfmt else 0)
+        if not self.handle:
+            raise OSError(f"cannot open capture device {device}")
+        self.width, self.height = w.value, h.value
+        pf = self.lib.bsio_cap_pixelformat(self.handle)
+        self.pixelformat = bytes([pf & 0xFF, (pf >> 8) & 0xFF, (pf >> 16) & 0xFF,
+                                  (pf >> 24) & 0xFF]).decode(errors="replace")
+        self._buf = np.empty(self.width * self.height * 4, np.uint8)
+
+    def grab_raw(self) -> np.ndarray:
+        """Newest raw frame payload (YUYV/MJPG bytes, driver-format)."""
+        n = self.lib.bsio_cap_grab(self.handle, self._buf.ctypes.data, self._buf.nbytes)
+        if n < 0:
+            raise OSError(-n, f"capture grab failed: {os.strerror(-int(n))}")
+        return self._buf[:n]
+
+    def grab_bgr(self) -> np.ndarray:
+        """Newest frame decoded to BGR u8 (host-side decode for MJPG)."""
+        raw = self.grab_raw()
+        if self.pixelformat == "YUYV":
+            yuyv = raw.reshape(self.height, self.width, 2)
+            import cv2
+            return cv2.cvtColor(yuyv, cv2.COLOR_YUV2BGR_YUY2)
+        if self.pixelformat in ("MJPG", "JPEG"):
+            import cv2
+            return cv2.imdecode(raw, cv2.IMREAD_COLOR)
+        raise NotImplementedError(f"pixel format {self.pixelformat!r}")
+
+    def close(self):
+        if self.handle:
+            self.lib.bsio_cap_close(self.handle)
+            self.handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

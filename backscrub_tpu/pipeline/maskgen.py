@@ -140,6 +140,12 @@ class MaskGen:
             self.onmask()
         return np.asarray(mask)
 
+    def process_bytes(self, frame_bytes: bytes, height: int, width: int) -> bytes:
+        """Raw-buffer entry point for the C ABI (native/bs_capi.cc):
+        BGR u8 bytes in, mask u8 bytes out."""
+        frame = np.frombuffer(frame_bytes, np.uint8).reshape(height, width, 3)
+        return self.process(frame).tobytes()
+
     def reset(self):
         oh, ow = self.model.output_shape[1:3]
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)

@@ -1,0 +1,57 @@
+"""Per-frame stage timing, mirroring the reference telemetry.
+
+The reference stamps nanosecond timestamps at every main-loop stage and
+prints a one-line breakdown `grab/retr/copy/prep/mask/post/v4l2 + FPS`
+(app/deepseg.cc:137-156, :630-719).  Here the device work is one fused
+dispatch, so the host-visible stages are: grab (source read), upload,
+dispatch (device step), fetch (result readback), sink (v4l2/file write).
+For intra-dispatch breakdowns use jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Dict
+
+
+class StageTimer:
+    """Accumulates per-stage wall time over a sliding window of frames."""
+
+    STAGES = ("grab", "upload", "dispatch", "fetch", "sink")
+
+    def __init__(self, window: int = 120):
+        self._window = window
+        self._hist: Dict[str, deque] = {s: deque(maxlen=window) for s in self.STAGES}
+        self._frame_times: deque = deque(maxlen=window)
+        self._t0 = None
+        self._last_frame = None
+
+    def start(self):
+        self._t0 = time.perf_counter_ns()
+
+    def mark(self, stage: str):
+        now = time.perf_counter_ns()
+        self._hist[stage].append(now - self._t0)
+        self._t0 = now
+
+    def frame_done(self):
+        now = time.perf_counter_ns()
+        if self._last_frame is not None:
+            self._frame_times.append(now - self._last_frame)
+        self._last_frame = now
+
+    @property
+    def fps(self) -> float:
+        if not self._frame_times:
+            return 0.0
+        return 1e9 * len(self._frame_times) / sum(self._frame_times)
+
+    def means_ms(self) -> Dict[str, float]:
+        return {s: (sum(h) / len(h) / 1e6 if h else 0.0)
+                for s, h in self._hist.items()}
+
+    def report_line(self) -> str:
+        m = self.means_ms()
+        stages = " ".join(f"{s}:{m[s]:.2f}ms" for s in self.STAGES if m[s] > 0)
+        return f"{stages} FPS:{self.fps:.1f}"

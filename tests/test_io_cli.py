@@ -1,0 +1,175 @@
+"""Host I/O layer + CLI tests (headless: file/test sources, file/null sinks)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from backscrub_tpu.cli import parse_args, parse_geometry
+from backscrub_tpu.io.background import BackgroundSource, load_background
+from backscrub_tpu.io.streams import (FileFrameSink, FileSource, NullFrameSink,
+                                      SyntheticSource, open_sink, open_source)
+
+BACKGROUNDS = "/root/reference/backgrounds"
+
+
+# ---------------------------------------------------------------------------
+# CLI argument parsing (app/deepseg.cc:379-530 contract)
+
+
+def test_parse_defaults():
+    cfg = parse_args([])
+    assert cfg["ccam"] == "/dev/video0"
+    assert cfg["vcam"] == "/dev/video1"
+    assert cfg["cap_geo"] == (640, 480)
+    assert "selfiesegmentation_mlkit" in cfg["model"]
+
+
+def test_parse_geometry_flags():
+    cfg = parse_args(["--cg", "1280x720", "--vg", "1920x1080"])
+    assert cfg["cap_geo"] == (1280, 720)
+    assert cfg["vid_geo"] == (1920, 1080)
+    assert parse_geometry("nonsense") is None
+
+
+def test_parse_deprecated_wh_conflict():
+    with pytest.raises(ValueError):
+        parse_args(["-w", "640", "--cg", "640x480"])
+
+
+def test_parse_device_prefix():
+    cfg = parse_args(["-c", "video5", "-v", "video9"])
+    assert cfg["ccam"] == "/dev/video5"
+    assert cfg["vcam"] == "/dev/video9"
+    cfg = parse_args(["-c", "test:", "-v", "null:"])
+    assert cfg["ccam"] == "test:"
+
+
+def test_parse_bgblur_even_becomes_odd():
+    cfg = parse_args(["-p", "bgblur:24"])
+    assert cfg["blur_strength"] == 25
+    with pytest.raises(ValueError):
+        parse_args(["-p", "nonsense:1"])
+
+
+def test_usage_on_unknown():
+    with pytest.raises(ValueError):
+        parse_args(["--bogus"])
+
+
+# ---------------------------------------------------------------------------
+# sources / sinks
+
+
+def test_synthetic_source_moves():
+    src = SyntheticSource(64, 48)
+    a, b = src.read(), src.read()
+    assert a.shape == (48, 64, 3) and a.dtype == np.uint8
+    assert not np.array_equal(a, b)
+
+
+def test_file_source_still_image():
+    path = os.path.join(BACKGROUNDS, "background.png")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    src = open_source(path, 320, 240)
+    f = src.read()
+    assert f.shape == (240, 320, 3)
+    f2 = src.read()  # stills repeat forever
+    assert np.array_equal(f, f2)
+
+
+def test_file_source_video_loops():
+    path = os.path.join(BACKGROUNDS, "retrowave.webm")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    src = FileSource(path, 160, 120, loop=True)
+    n_frames = 0
+    for _ in range(1000):
+        if src.read() is None:
+            break
+        n_frames += 1
+    assert n_frames == 1000  # looped past EOF
+    src.close()
+
+
+def test_null_sink_counts():
+    sink = open_sink("null:", 64, 48)
+    assert isinstance(sink, NullFrameSink)
+    sink.write_yuyv(np.zeros((48, 128), np.uint8))
+    assert sink.frames == 1
+
+
+def test_raw_yuv_file_sink(tmp_path):
+    p = str(tmp_path / "out.yuv")
+    sink = FileFrameSink(p, 64, 48)
+    sink.write_yuyv(np.full((48, 128), 7, np.uint8))
+    sink.write_yuyv(np.full((48, 128), 9, np.uint8))
+    sink.close()
+    data = open(p, "rb").read()
+    assert len(data) == 2 * 48 * 128
+    assert data[0] == 7 and data[-1] == 9
+
+
+# ---------------------------------------------------------------------------
+# background source (app/background.cc behavior)
+
+
+def test_background_still():
+    path = os.path.join(BACKGROUNDS, "background.png")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    bg = BackgroundSource(path)
+    assert not bg.video
+    f = bg.grab(320, 200)
+    assert f.shape == (200, 320, 3)
+    bg.close()
+
+
+def test_background_video_paced():
+    path = os.path.join(BACKGROUNDS, "retrowave.webm")
+    if not os.path.exists(path):
+        pytest.skip("asset missing")
+    import time
+    with BackgroundSource(path) as bg:
+        assert bg.video and bg.fps > 0
+        f1 = bg.grab(160, 120)
+        time.sleep(3.0 / bg.fps)
+        f2 = bg.grab(160, 120)
+        assert f1.shape == f2.shape == (120, 160, 3)
+        assert not np.array_equal(f1, f2)  # the reader thread advanced
+
+
+def test_background_load_failure_returns_none():
+    assert load_background("/no/such/file.png") is None
+
+
+# ---------------------------------------------------------------------------
+# native shim (build availability + fd write loop)
+
+
+def test_bsio_loads_and_writes(tmp_path):
+    from backscrub_tpu.io import v4l2
+    try:
+        lib = v4l2.load_bsio()
+    except RuntimeError:
+        pytest.skip("libbsio.so not built")
+    assert b"bsio" in lib.bsio_version()
+    # the write loop works on any fd, not just v4l2 devices
+    p = str(tmp_path / "frame.bin")
+    fd = os.open(p, os.O_WRONLY | os.O_CREAT, 0o644)
+    buf = np.arange(4096, dtype=np.uint8)
+    rc = lib.bsio_loopback_write(fd, buf.ctypes.data, buf.nbytes)
+    os.close(fd)
+    assert rc == 0
+    assert open(p, "rb").read() == buf.tobytes()
+
+
+def test_fourcc():
+    from backscrub_tpu.io.v4l2 import fourcc
+    assert fourcc("YUYV") == 0x56595559
+    assert fourcc("MJPG") == 0x47504A4D
