@@ -193,17 +193,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     sink = open_sink(cfg["vcam"], vw, vh)
     timer = StageTimer()
+
+    # debug window + runtime toggles (app/deepseg.cc:724-803)
+    from .utils.debug_ui import DebugState, DebugWindow, compose_debug_view
+    state = DebugState(flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"])
+    window = DebugWindow() if cfg["debug"] >= 2 else None
+    if window is not None and not window.available:
+        print("debug: no display available, HUD disabled", file=sys.stderr)
+
     pending = None  # (device_out, ) 2-deep pipeline
     n = 0
     try:
-        while cfg["frames"] == 0 or n < cfg["frames"]:
+        while state.running and (cfg["frames"] == 0 or n < cfg["frames"]):
             timer.start()
             frame = source.read()
             if frame is None:
                 break
             timer.mark("grab")
             bg = background.grab(cw, ch) if background else None
-            out, _mask = pipe.step(frame, bg)
+            out, mask = pipe.step(frame, bg,
+                                  flip_horizontal=state.flip_horizontal,
+                                  flip_vertical=state.flip_vertical,
+                                  filter_active=state.filter_active)
             timer.mark("dispatch")
             if pending is not None:
                 sink.write_yuyv(np.asarray(pending))
@@ -215,6 +226,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(".", end="", flush=True)
             if cfg["debug"] and n % 120 == 0:
                 print(timer.report_line(), file=sys.stderr)
+            if window is not None and window.available:
+                import cv2
+                yuyv = np.asarray(out).reshape(vh, vw, 2)
+                test = cv2.cvtColor(yuyv, cv2.COLOR_YUV2BGR_YUY2)
+                view = compose_debug_view(
+                    test, state, mask=np.asarray(mask),
+                    bg_thumb=background.thumbnail() if background else None,
+                    main_fps=timer.fps, ai_fps=timer.fps,
+                    cap_geo=(cw, ch), vid_geo=(vw, vh))
+                window.show(view, state)
     except KeyboardInterrupt:
         pass
     finally:
@@ -224,6 +245,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         sink.close()
         if background:
             background.close()
+        if window is not None:
+            window.close()
     if cfg["progress"]:
         print()
     print(f"processed {n} frames ({timer.fps:.1f} fps)", file=sys.stderr)

@@ -38,7 +38,7 @@ class LoweringCtx:
 
     def __init__(self, graph: GraphIR, params: Dict[str, jnp.ndarray],
                  prepared: Dict[str, np.ndarray], compute_dtype, precision,
-                 acc_dtype):
+                 acc_dtype, weight_meta: Optional[Dict[str, Any]] = None):
         self.graph = graph
         self.params = params          # traced param leaves (inside jit)
         self.prepared = prepared      # build-time numpy store (first trace only)
@@ -46,6 +46,9 @@ class LoweringCtx:
         self.compute_dtype = compute_dtype
         self.acc_dtype = acc_dtype
         self.precision = precision
+        # key -> dict(tensor_index, inverse, dtype): how to map a (possibly
+        # fine-tuned) param back into the original .tflite weight layout
+        self.weight_meta = weight_meta if weight_meta is not None else {}
 
     def key(self, idx: int) -> str:
         return f"t{idx}"
@@ -58,7 +61,8 @@ class LoweringCtx:
             return self.get_const(idx)
         raise KeyError(f"tensor {t!r} referenced before definition")
 
-    def get_const(self, idx: int, prepare: Optional[Callable] = None):
+    def get_const(self, idx: int, prepare: Optional[Callable] = None,
+                  inverse: Optional[Callable] = None):
         key = self.key(idx)
         if key not in self.prepared:
             t = self.graph.tensor(idx)
@@ -66,6 +70,10 @@ class LoweringCtx:
                 # Activation fed to a weight slot (rare); fall back to env.
                 return self.get(idx)
             arr = t.data
+            # storage dtype is the payload dtype (f16 for dequant-folded
+            # weights), not the IR tensor's logical dtype
+            self.weight_meta[key] = dict(tensor_index=idx, inverse=inverse,
+                                         dtype=arr.dtype)
             if prepare is not None:
                 arr = prepare(arr)
             # Keep f16 storage; cast at use site (exact widening on load).
@@ -109,6 +117,7 @@ class CompiledModel:
     input_shape: tuple
     output_shape: tuple
     compute_dtype: Any
+    weight_meta: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def __call__(self, x, params: Optional[Dict[str, jnp.ndarray]] = None):
         return self.fn(params if params is not None else self.params, x)
@@ -124,22 +133,27 @@ def fold_constants(graph: GraphIR) -> GraphIR:
     transforms; the f16->f32 widening happens exactly on parameter load.
     """
     nodes: List = []
+    aliases = dict(graph.aliases)
     for node in graph.nodes:
         if node.kind == "DEQUANTIZE" and graph.tensor(node.inputs[0]).is_constant:
             t_in, t_out = graph.tensor(node.inputs[0]), graph.tensor(node.outputs[0])
             t_out.data = t_in.data  # keep f16 storage; cast at use
+            aliases[t_out.index] = aliases.get(t_in.index, t_in.index)
             continue
         if node.kind == "RESHAPE" and graph.tensor(node.inputs[0]).is_constant:
             t_in, t_out = graph.tensor(node.inputs[0]), graph.tensor(node.outputs[0])
             shape = node.options.get("new_shape") or graph.tensor(node.inputs[1]).data.reshape(-1)
             t_out.data = t_in.data.reshape([int(s) for s in shape])
+            aliases[t_out.index] = aliases.get(t_in.index, t_in.index)
             continue
         nodes.append(node)
-    return dataclasses.replace(graph, nodes=nodes)
+    return dataclasses.replace(graph, nodes=nodes, aliases=aliases)
 
 
-def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision, acc_dtype):
-    ctx = LoweringCtx(graph, params, prepared, compute_dtype, precision, acc_dtype)
+def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision,
+           acc_dtype, weight_meta=None):
+    ctx = LoweringCtx(graph, params, prepared, compute_dtype, precision,
+                      acc_dtype, weight_meta)
     if len(graph.inputs) != 1:
         raise NotImplementedError("multi-input graphs not supported yet")
     ctx.set(graph.inputs[0], x.astype(compute_dtype))
@@ -166,9 +180,10 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     # touching the device.
     in_t = graph.tensor(graph.inputs[0])
     x_spec = jax.ShapeDtypeStruct(tuple(in_t.shape), compute_dtype)
+    weight_meta: Dict[str, Any] = {}
     jax.eval_shape(partial(_trace, graph, {}, prepared,
                            compute_dtype=compute_dtype, precision=precision,
-                           acc_dtype=acc_dtype), x_spec)
+                           acc_dtype=acc_dtype, weight_meta=weight_meta), x_spec)
 
     params = {k: jnp.asarray(v) for k, v in prepared.items()}
 
@@ -180,7 +195,7 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     return CompiledModel(
         graph=graph, params=params, fn=fn, raw_fn=raw_fn,
         input_shape=tuple(in_t.shape), output_shape=tuple(out_t.shape),
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, weight_meta=weight_meta,
     )
 
 

@@ -35,7 +35,9 @@ def _conv_precision(ctx):
 @register("CONV_2D")
 def conv2d(ctx, node):
     x = ctx.get(node.inputs[0])
-    w = ctx.get_const(node.inputs[1], prepare=lambda a: np.transpose(a, (1, 2, 3, 0)))  # OHWI->HWIO
+    w = ctx.get_const(node.inputs[1],
+                      prepare=lambda a: np.transpose(a, (1, 2, 3, 0)),   # OHWI->HWIO
+                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2)))
     o = node.options
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
     y = lax.conv_general_dilated(
@@ -63,7 +65,8 @@ def depthwise_conv2d(ctx, node):
     # grouped with feature_group_count=in_ch.  Output channel c*mult+m maps to
     # input channel c in both conventions.
     w = ctx.get_const(node.inputs[1],
-                      prepare=lambda a: np.transpose(a, (1, 2, 0, 3)))  # (fh, fw, 1, C*M)
+                      prepare=lambda a: np.transpose(a, (1, 2, 0, 3)),  # (fh, fw, 1, C*M)
+                      inverse=lambda a: np.transpose(a, (2, 0, 1, 3)))
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
     y = lax.conv_general_dilated(
         x, w,
@@ -84,7 +87,9 @@ def depthwise_conv2d(ctx, node):
 @register("FULLY_CONNECTED")
 def fully_connected(ctx, node):
     x = ctx.get(node.inputs[0])
-    w = ctx.get_const(node.inputs[1], prepare=lambda a: np.transpose(a, (1, 0)))  # (O,K)->(K,O)
+    w = ctx.get_const(node.inputs[1],
+                      prepare=lambda a: np.transpose(a, (1, 0)),         # (O,K)->(K,O)
+                      inverse=lambda a: np.transpose(a, (1, 0)))
     o = node.options
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
@@ -118,7 +123,8 @@ def _lower_transpose_conv(ctx, node, x_idx, w_idx, bias_idx, stride_h, stride_w,
     x = ctx.get(x_idx)
     # OHWI -> flip HW -> HWIO
     w = ctx.get_const(w_idx,
-                      prepare=lambda a: np.transpose(a[:, ::-1, ::-1, :], (1, 2, 3, 0)))
+                      prepare=lambda a: np.transpose(a[:, ::-1, ::-1, :], (1, 2, 3, 0)),
+                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2))[:, ::-1, ::-1, :])
     fh, fw = w.shape[0], w.shape[1]
     _, pad_h = transpose_conv_shape(x.shape[1], fh, stride_h, padding)
     _, pad_w = transpose_conv_shape(x.shape[2], fw, stride_w, padding)

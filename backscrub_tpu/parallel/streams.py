@@ -1,0 +1,71 @@
+"""Multi-stream frame pipeline: N camera streams, one mesh, one dispatch.
+
+The reference serves exactly one camera per process; the TPU-native scaling
+unit is a *stream batch* (SURVEY.md §2.4): frames from S streams stack into
+(S, H, W, 3), shard over the mesh ``data`` axis, and run the full fused
+frame program (mask + composite + YUYV) in a single dispatch.  Per-stream
+temporal EMA state is carried as an (S, oh, ow) donated device buffer with
+the same sharding, so streams never mix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline.frame import FramePipeline, PipelineConfig
+from .mesh import param_sharding_spec
+
+
+class MultiStreamPipeline:
+    """Run the whole-frame program over a sharded stream batch.
+
+    ``step(frames (S,H,W,3) u8, backgrounds (S,H,W,3) u8)`` ->
+    (yuyv (S,H,2W) u8, masks (S,H,W) u8); S must be a multiple of the
+    ``data`` axis size.
+    """
+
+    def __init__(self, model: str, config: PipelineConfig, n_streams: int,
+                 mesh: Mesh, *, compute_dtype=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST):
+        if n_streams % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"n_streams={n_streams} not divisible by data axis "
+                f"{mesh.shape['data']}")
+        self.mesh = mesh
+        self.n_streams = n_streams
+        self.pipe = FramePipeline(model, config, compute_dtype=compute_dtype,
+                                  precision=precision)
+        oh, ow = self.pipe.maskgen.model.output_shape[1:3]
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self.ema = jax.device_put(
+            jnp.full((n_streams, oh, ow), 255, jnp.uint8), self._batch_sharding)
+        self.params = {
+            k: jax.device_put(v, NamedSharding(mesh, param_sharding_spec(k, v, mesh)))
+            for k, v in self.pipe.maskgen.model.params.items()
+        }
+        # batched compose: the pipeline stages are written with ellipsis
+        # indexing, so the same compose fn handles the leading stream axis
+        raw = self.pipe._make_step("explicit", config.flip_horizontal,
+                                   config.flip_vertical, True)
+        self._step = jax.jit(raw, donate_argnums=(3,))
+
+    def step(self, frames: np.ndarray, backgrounds: Optional[np.ndarray] = None):
+        S = self.n_streams
+        f = jax.device_put(jnp.asarray(frames), self._batch_sharding)
+        if backgrounds is None:
+            backgrounds = np.broadcast_to(self.pipe.green, frames.shape)
+        b = jax.device_put(jnp.asarray(np.ascontiguousarray(backgrounds)),
+                           self._batch_sharding)
+        out, masks, self.ema = self._step(self.params, f, b, self.ema)
+        return out, masks
+
+    def reset(self):
+        oh, ow = self.pipe.maskgen.model.output_shape[1:3]
+        self.ema = jax.device_put(
+            jnp.full((self.n_streams, oh, ow), 255, jnp.uint8),
+            self._batch_sharding)

@@ -68,37 +68,32 @@ class FramePipeline:
         # default background: green screen (app/deepseg.cc:596-603 fallback)
         self.green = np.zeros((config.height, config.width, 3), np.uint8)
         self.green[..., 1] = 255
-        self._step_bg = jax.jit(self._make_step(bg_mode="explicit"), donate_argnums=(3,))
-        self._step_blur = jax.jit(self._make_step(bg_mode="blur"), donate_argnums=(2,))
+        self._steps = {}  # (bg_mode, flip_h, flip_v, active) -> jitted step
+        self._step_bg = self._get_step("explicit", config.flip_horizontal,
+                                       config.flip_vertical, True)
+        self._step_blur = self._get_step("blur", config.flip_horizontal,
+                                         config.flip_vertical, True)
 
-    def _make_step(self, bg_mode: str):
+    def _get_step(self, bg_mode: str, flip_h: bool, flip_v: bool, active: bool):
+        """Jitted step variant for a runtime-toggleable combination
+        (debug keys s/h/v toggle filter and flips, app/deepseg.cc:779-803);
+        variants compile lazily and are cached."""
+        key = (bg_mode, flip_h, flip_v, active)
+        if key not in self._steps:
+            fn = self._make_step(bg_mode, flip_h, flip_v, active)
+            donate = (2,) if bg_mode == "blur" else (3,)
+            self._steps[key] = jax.jit(fn, donate_argnums=donate)
+        return self._steps[key]
+
+    def _make_step(self, bg_mode: str, flip_h: bool, flip_v: bool,
+                   active: bool = True):
         cfg = self.cfg
         geo = self.geo
         spec = self.spec
         model = self.maskgen.model
 
-        def compose(params, frame, bg, ema):
-            # --- mask chain (libbackscrub path), fused in the same program
-            x = preprocess(frame, geo, spec, use_bilateral=cfg.use_bilateral,
-                           precision=self.precision)
-            out = model.raw_fn(params, x[None] if x.ndim == 3 else x)
-            out = out[0] if x.ndim == 3 else out
-            val = decode_val(out.astype(jnp.float32), spec)
-            new_ema = ema_update(ema, val)
-            mask = postprocess_mask(new_ema, geo, precision=self.precision)
-
-            # --- background (app/deepseg.cc:645-658)
-            if bg_mode == "blur":
-                bg_frame = frame
-            else:
-                bg_frame = bg
-            if cfg.blur_strength:
-                bg_f = gaussian_blur(bg_frame.astype(jnp.float32), cfg.blur_strength)
-                bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
-
-            # --- composite + output conversion (app/deepseg.cc:661-681)
-            comp = alpha_blend_u8(bg_frame, frame, mask)
-            comp = flip(comp, cfg.flip_horizontal, cfg.flip_vertical)
+        def finish(comp, mask, new_ema):
+            comp = flip(comp, flip_h, flip_v)
             oh, ow = self.out_geo
             if (oh, ow) != (cfg.height, cfg.width):
                 comp = jnp.clip(jnp.round(resize_bilinear(
@@ -113,19 +108,54 @@ class FramePipeline:
             yuyv = yuyv.reshape(yuyv.shape[:-2] + (yuyv.shape[-2] * 2,))
             return yuyv, mask, new_ema
 
+        def compose(params, frame, bg, ema):
+            if not active:
+                # filter off ('s' key): passthrough convert only
+                # (app/deepseg.cc:662-664); EMA state is left untouched
+                mask = jnp.full(frame.shape[:-1], 255, jnp.uint8)
+                return finish(frame, mask, ema)
+
+            # --- mask chain (libbackscrub path), fused in the same program
+            x = preprocess(frame, geo, spec, use_bilateral=cfg.use_bilateral,
+                           precision=self.precision)
+            out = model.raw_fn(params, x[None] if x.ndim == 3 else x)
+            out = out[0] if x.ndim == 3 else out
+            val = decode_val(out.astype(jnp.float32), spec)
+            new_ema = ema_update(ema, val)
+            mask = postprocess_mask(new_ema, geo, precision=self.precision)
+
+            # --- background (app/deepseg.cc:645-658)
+            bg_frame = frame if bg_mode == "blur" else bg
+            if cfg.blur_strength:
+                bg_f = gaussian_blur(bg_frame.astype(jnp.float32), cfg.blur_strength)
+                bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
+
+            # --- composite + output conversion (app/deepseg.cc:661-681)
+            comp = alpha_blend_u8(bg_frame, frame, mask)
+            return finish(comp, mask, new_ema)
+
         if bg_mode == "blur":
             return lambda params, frame, ema: compose(params, frame, None, ema)
         return compose
 
-    def step(self, frame_bgr_u8, background_bgr_u8=None):
-        """Process one frame; returns (packed_frame, mask) as device arrays."""
+    def step(self, frame_bgr_u8, background_bgr_u8=None, *,
+             flip_horizontal=None, flip_vertical=None, filter_active=True):
+        """Process one frame; returns (packed_frame, mask) as device arrays.
+
+        flips default to the construction config; passing them (and
+        filter_active) selects a cached jit variant — this is how the debug
+        window's runtime toggles work."""
+        fh = self.cfg.flip_horizontal if flip_horizontal is None else flip_horizontal
+        fv = self.cfg.flip_vertical if flip_vertical is None else flip_vertical
         frame = jnp.asarray(frame_bgr_u8)
         params = self.maskgen.model.params
         if background_bgr_u8 is None and self.cfg.blur_strength:
-            out, mask, self.maskgen.ema = self._step_blur(params, frame, self.maskgen.ema)
+            step = self._get_step("blur", fh, fv, filter_active)
+            out, mask, self.maskgen.ema = step(params, frame, self.maskgen.ema)
         else:
             bg = jnp.asarray(self.green if background_bgr_u8 is None else background_bgr_u8)
-            out, mask, self.maskgen.ema = self._step_bg(params, frame, bg, self.maskgen.ema)
+            step = self._get_step("explicit", fh, fv, filter_active)
+            out, mask, self.maskgen.ema = step(params, frame, bg, self.maskgen.ema)
         return out, mask
 
     def reset(self):

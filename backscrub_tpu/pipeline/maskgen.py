@@ -57,6 +57,10 @@ def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None):
     small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
     small_f = small.astype(jnp.float32)[..., None]
     up = resize_bilinear(small_f, geo.roi.h, geo.roi.w, precision=precision)
+    # the reference resizes in u8 then blurs u8; round between stages so
+    # boundary pixels quantize the same way (matters for coarse outputs
+    # like BodyPix's 33x33)
+    up = jnp.round(up)
     blurred = box_blur(up, 5)
     m = jnp.clip(jnp.round(blurred[..., 0]), 0, 255).astype(jnp.uint8)
     r = geo.roi

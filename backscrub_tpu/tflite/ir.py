@@ -73,6 +73,9 @@ class GraphIR:
     inputs: List[int]
     outputs: List[int]
     description: str = ""
+    # constant-fold aliases: folded tensor index -> tensor index owning the
+    # actual flatbuffer storage (e.g. DEQUANTIZE output -> f16 input)
+    aliases: Dict[int, int] = dataclasses.field(default_factory=dict)
 
     def tensor(self, idx: int) -> TensorIR:
         return self.tensors[idx]

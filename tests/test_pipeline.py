@@ -112,8 +112,14 @@ def reference_maskgen(path, frames_bgr, width, height, spec):
     for frame in frames_bgr:
         roi = frame[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w]
         canvas = np.zeros((ih, iw, 3), np.uint8)
+        # float-precision resize: cv2's u8 path is 11-bit fixed point and
+        # disagrees with its own float path by +-1 on ~13% of pixels; the
+        # golden uses the precise convention so the comparison measures the
+        # pipeline, not cv2's quantization
+        small = cv2.resize(roi.astype(np.float32), (g.in_roi.w, g.in_roi.h),
+                           interpolation=cv2.INTER_LINEAR)
         canvas[g.in_roi.y:g.in_roi.y + g.in_roi.h, g.in_roi.x:g.in_roi.x + g.in_roi.w] = \
-            cv2.resize(roi, (g.in_roi.w, g.in_roi.h), interpolation=cv2.INTER_LINEAR)
+            np.clip(np.round(small), 0, 255).astype(np.uint8)
         rgb = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
         rgb = cv2.bilateralFilter(rgb, 5, 100.0, 100.0)
         x = rgb.astype(np.float32) * spec.scale + spec.offset
@@ -143,7 +149,9 @@ def iou(a_person, b_person):
 @pytest.mark.parametrize("name", [
     "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
     "segm_lite_v681.tflite",
+    "segm_full_v679.tflite",
     "deeplabv3_257_mv_gpu.tflite",
+    "body-pix-float-050-8.tflite",
 ])
 def test_mask_iou_vs_reference(name):
     path = model_path(name)
