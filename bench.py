@@ -1,16 +1,20 @@
-"""End-to-end benchmark: sustained 720p background replacement on one chip.
+"""End-to-end benchmark: sustained background replacement on one chip.
 
 Headline metric (BASELINE.json north star): the fused frame program —
 "camera frame goes HBM-in, composited-frame-out in one dispatch" — at
 1280x720 with the Google Meet lite model, sustained over many frames with
 the temporal-EMA state carried frame-serial (so steps cannot parallelize),
 including per-dispatch overhead.  This is the HBM-in/HBM-out boundary the
-north star defines; host<->device transfer costs (which in this container go
-through a network tunnel, not PCIe) are measured and reported on stderr for
-transparency.
+north star defines; host<->device transfer costs (which in this container
+go through a network tunnel, not PCIe) are measured and reported on stderr
+for transparency.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/REF_FPS}
+
+``--all`` additionally sweeps the BASELINE.json configs (every model
+family, 1080p + animated webm background + blur mode) and writes
+BENCH_DETAILS.json.
 
 Reference baseline: the C++ reference sustains ~10 FPS at 640x480 with
 DeepLab (README.md:126,177), ~30 FPS with the Meet models (BASELINE.json
@@ -24,66 +28,76 @@ import time
 import numpy as np
 
 REF_FPS = 30.0
-W, H = 1280, 720
 WARMUP = 10
 ITERS = 500
 
 
-def main():
+def build_pipe(model, w, h, blur=0, dtype=None, out_format="yuyv"):
     import jax
     import jax.numpy as jnp
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
     from backscrub_tpu.models.specs import resolve_model_path
 
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    cfg = PipelineConfig(width=w, height=h, blur_strength=blur,
+                         output_format=out_format)
+    return FramePipeline(resolve_model_path(model), cfg,
+                         compute_dtype=dtype or jnp.float32)
 
-    cfg = PipelineConfig(width=W, height=H)
-    pipe = FramePipeline(resolve_model_path("segm_lite_v681.tflite"), cfg,
-                         compute_dtype=jnp.float32)
+
+def measure(pipe, w, h, iters=ITERS, bg_frames=None):
+    """Sustained fps + p50 blocking latency of the fused step, HBM->HBM."""
+    import jax
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    frames_host = [rng.integers(0, 256, (H, W, 3), np.uint8) for _ in range(4)]
-    frames = [jax.device_put(f) for f in frames_host]
-    bg = jax.device_put(rng.integers(0, 256, (H, W, 3), np.uint8))
+    frames = [jax.device_put(rng.integers(0, 256, (h, w, 3), np.uint8))
+              for _ in range(4)]
+    if bg_frames is None:
+        bg_frames = [jax.device_put(rng.integers(0, 256, (h, w, 3), np.uint8))]
+    else:
+        bg_frames = [jax.device_put(b) for b in bg_frames]
 
     params = pipe.maskgen.model.params
+    blur_mode = pipe.cfg.blur_strength and bg_frames is None
     step = pipe._step_bg
-
-    # compile + warmup
     ema = pipe.maskgen.ema
     for i in range(WARMUP):
-        out, _, ema = step(params, frames[i % 4], bg, ema)
+        out, _, ema = step(params, frames[i % 4], bg_frames[i % len(bg_frames)], ema)
     jax.block_until_ready(out)
 
-    # --- headline: HBM-in -> HBM-out sustained throughput, frame-serial EMA
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out, _, ema = step(params, frames[i % 4], bg, ema)
+    for i in range(iters):
+        out, _, ema = step(params, frames[i % 4], bg_frames[i % len(bg_frames)], ema)
     jax.block_until_ready((out, ema))
     dt = time.perf_counter() - t0
-    fps = ITERS / dt
-    lat_ms = 1000.0 * dt / ITERS
+    fps = iters / dt
 
-    # --- p50 single-frame latency (dispatch -> result ready), target < 5 ms
     lats = []
     for i in range(50):
         t1 = time.perf_counter()
-        out, _, ema = step(params, frames[i % 4], bg, ema)
+        out, _, ema = step(params, frames[i % 4], bg_frames[i % len(bg_frames)], ema)
         jax.block_until_ready(out)
         lats.append(1000 * (time.perf_counter() - t1))
-    p50 = float(np.percentile(lats, 50))
+    pipe.maskgen.ema = ema
+    return fps, float(np.percentile(lats, 50))
 
-    # --- transfer diagnostics (tunneled in this container; PCIe in prod)
+
+def transfer_diag(pipe, w, h):
+    import jax
+    rng = np.random.default_rng(1)
+    host = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(4)]
     t0 = time.perf_counter()
     for i in range(8):
-        jax.device_put(frames_host[i % 4]).block_until_ready()
+        jax.device_put(host[i % 4]).block_until_ready()
     up_ms = 1000 * (time.perf_counter() - t0) / 8
 
+    params = pipe.maskgen.model.params
+    step = pipe._step_bg
+    bg = jax.device_put(host[0])
+    ema = pipe.maskgen.ema
     outs = []
-    ema2 = ema
     for i in range(8):
-        o, _, ema2 = step(params, frames[i % 4], bg, ema2)
+        o, _, ema = step(params, jax.device_put(host[i % 4]), bg, ema)
         outs.append(o)
     jax.block_until_ready(outs)
     t0 = time.perf_counter()
@@ -92,13 +106,69 @@ def main():
     for o in outs:
         np.asarray(o)
     down_ms = 1000 * (time.perf_counter() - t0) / 8
+    pipe.maskgen.ema = ema
+    return up_ms, down_ms
 
-    e2e_ms = lat_ms + max(up_ms, down_ms)  # overlapped transfers
-    print(f"device pipeline: {fps:.1f} fps ({lat_ms:.2f} ms/frame), "
-          f"p50 blocking latency {p50:.2f} ms (target < 5)", file=sys.stderr)
+
+def run_config_sweep():
+    """BASELINE.json configs: every model family + 1080p/webm/blur."""
+    import cv2
+    results = {}
+
+    configs = [
+        ("segm_lite_640x480", "segm_lite_v681.tflite", 640, 480, 0),
+        ("deeplab_640x480", "deeplabv3_257_mv_gpu.tflite", 640, 480, 0),
+        ("mlkit_720p", "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+         1280, 720, 0),
+        ("segm_full_720p", "segm_full_v679.tflite", 1280, 720, 0),
+        ("bodypix_640x480", "body-pix-float-050-8.tflite", 640, 480, 0),
+        ("segm_lite_1080p_bgblur", "segm_lite_v681.tflite", 1920, 1080, 25),
+    ]
+    for name, model, w, h, blur in configs:
+        try:
+            pipe = build_pipe(model, w, h, blur=blur)
+            bg_frames = None
+            if "1080p" in name:
+                # animated webm background decoded host-side, cycled on device
+                cap = cv2.VideoCapture("/root/reference/backgrounds/retrowave.webm")
+                bgs = []
+                for _ in range(4):
+                    ok, f = cap.read()
+                    if not ok:
+                        break
+                    bgs.append(cv2.resize(f, (w, h)))
+                cap.release()
+                bg_frames = bgs or None
+            fps, p50 = measure(pipe, w, h, iters=200, bg_frames=bg_frames)
+            results[name] = {"fps": round(fps, 1), "p50_ms": round(p50, 3)}
+            print(f"  {name:28s} {fps:10.1f} fps   p50 {p50:6.3f} ms",
+                  file=sys.stderr)
+        except Exception as e:  # keep the sweep robust
+            results[name] = {"error": str(e)[:200]}
+            print(f"  {name:28s} ERROR {e}", file=sys.stderr)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+def main():
+    import jax
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    W, H = 1280, 720
+    pipe = build_pipe("segm_lite_v681.tflite", W, H)
+    fps, p50 = measure(pipe, W, H)
+    up_ms, down_ms = transfer_diag(pipe, W, H)
+    e2e_ms = 1000.0 / fps + max(up_ms, down_ms)
+    print(f"device pipeline: {fps:.1f} fps ({1000.0/fps:.3f} ms/frame), "
+          f"p50 blocking latency {p50:.3f} ms (target < 5)", file=sys.stderr)
     print(f"transfers: up {up_ms:.1f} ms, down(async) {down_ms:.1f} ms "
-          f"-> est e2e {1000.0 / e2e_ms:.1f} fps through this container's tunnel",
+          f"-> est e2e {1000.0/e2e_ms:.1f} fps through this container's tunnel",
           file=sys.stderr)
+
+    if "--all" in sys.argv:
+        print("config sweep:", file=sys.stderr)
+        run_config_sweep()
 
     print(json.dumps({
         "metric": "720p_background_replacement_fps_hbm_to_hbm",

@@ -1,0 +1,66 @@
+"""bf16 fast-path fidelity + side-tool smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from backscrub_tpu.pipeline.maskgen import MaskGen
+
+from conftest import model_path
+
+SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+
+
+def iou(a, b):
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return 1.0 if union == 0 else inter / union
+
+
+def test_bf16_mask_close_to_f32():
+    """The bfloat16 MXU fast path must stay within the IoU budget."""
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("asset missing")
+    frame = cv2.resize(frame, (640, 480))
+    path = model_path("segm_lite_v681.tflite")
+    mg32 = MaskGen(path, 640, 480)
+    mg16 = MaskGen(path, 640, 480, compute_dtype=jnp.bfloat16,
+                   precision=jax.lax.Precision.DEFAULT)
+    for _ in range(4):
+        m32 = mg32.process(frame)
+        m16 = mg16.process(frame)
+    score = iou(m32 < 128, m16 < 128)
+    assert score >= 0.98, f"bf16 IoU vs f32 = {score:.4f}"
+
+
+def test_chroma_key():
+    from tools.transparent_viewer import chroma_key_green
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = (0, 255, 0)   # pure green -> transparent
+    img[1, 1] = (10, 255, 0)  # not pure -> opaque
+    bgra = chroma_key_green(img)
+    assert bgra.shape == (4, 4, 4)
+    assert bgra[0, 0, 3] == 0
+    assert bgra[1, 1, 3] == 255
+
+
+def test_minimal_demo_runs(tmp_path):
+    out = str(tmp_path / "demo.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/minimal_demo.py", SCREENSHOT,
+         "/root/reference/backgrounds/background.png", out],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    img = cv2.imread(out)
+    assert img is not None and img.shape == (480, 640, 3)
