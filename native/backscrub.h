@@ -1,0 +1,47 @@
+/* backscrub-tpu C API.
+ *
+ * Drop-in equivalent of the reference lib/libbackscrub.h contract
+ * (opaque maskgen context + nullable stage callbacks), with raw BGR u8
+ * buffers instead of cv::Mat so consumers need no OpenCV link.
+ * Link against libbackscrub.so (embeds a Python interpreter driving the
+ * TPU pipeline).
+ */
+
+#ifndef BACKSCRUB_TPU_H
+#define BACKSCRUB_TPU_H
+
+#include <stdbool.h>
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* Runtime version string (JAX runtime; name kept for API parity). */
+const char *bs_tensorflow_version(void);
+
+/* Create a mask generation context.
+ * modelname: .tflite path or name resolvable via BACKSCRUB_PATH.
+ * threads:   accepted for compatibility; XLA manages device compute.
+ * width/height: camera frame geometry.
+ * Callbacks (nullable): ondebug(msg), onprep/oninfer/onmask stage hooks
+ * (onmask fires per frame; prep/infer are fused into one dispatch).
+ * Returns NULL on failure. */
+void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
+                     size_t height,
+                     void (*ondebug)(void *ctx, const char *msg),
+                     void (*onprep)(void *ctx), void (*oninfer)(void *ctx),
+                     void (*onmask)(void *ctx), void *caller_ctx);
+
+void bs_maskgen_delete(void *context);
+
+/* frame: height*width*3 BGR u8; mask out: height*width u8
+ * (0 = person / keep camera pixel, 255 = background / replace). */
+bool bs_maskgen_process(void *context, const uint8_t *frame, uint8_t *mask);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* BACKSCRUB_TPU_H */

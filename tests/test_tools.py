@@ -1,0 +1,87 @@
+"""Tooling tests: Keras->tflite conversion into our executor, cmake config,
+loopback self-test harness."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_convert_keras_model_loads_in_executor(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    # a tiny conv segmentation-ish net exercising several lowerings
+    inp = tf.keras.Input((32, 32, 3))
+    x = tf.keras.layers.Conv2D(8, 3, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.DepthwiseConv2D(3, padding="same")(x)
+    x = tf.keras.layers.Conv2D(4, 1, activation="relu")(x)
+    x = tf.keras.layers.UpSampling2D(interpolation="bilinear")(x)
+    out = tf.keras.layers.Conv2D(1, 1, activation="sigmoid")(x)
+    model = tf.keras.Model(inp, out)
+
+    sys.path.insert(0, REPO)
+    from tools.convert_model import convert
+    dst = str(tmp_path / "custom_selfie.tflite")
+    saved = str(tmp_path / "saved")
+    model.export(saved)  # SavedModel
+    convert(saved, dst)
+
+    from backscrub_tpu.graph.executor import load_model
+    m = load_model(dst)
+    x_in = np.random.default_rng(0).random((1, 32, 32, 3), np.float32)
+    y = np.asarray(m(x_in))
+    assert y.shape[-3:] == (64, 64, 1)
+    # golden vs TFLite on the converted file
+    from conftest import tflite_invoke
+    ref = tflite_invoke(dst, x_in)
+    np.testing.assert_allclose(y, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_loopback_selftest_harness(tmp_path):
+    out = str(tmp_path / "pattern.yuv")
+    r = subprocess.run(
+        [sys.executable, "tools/loopback_test.py", f"file:{out}", "64x32", "3"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-400:]
+    data = open(out, "rb").read()
+    assert len(data) == 3 * 32 * 128
+    # moving pattern: frames differ
+    f0, f1 = data[:32 * 128], data[32 * 128:2 * 32 * 128]
+    assert f0 != f1
+
+
+def test_cmake_package_config_installs(tmp_path):
+    """The consumer config (FindBackscrub equivalent) installs and defines
+    the imported targets."""
+    build = str(tmp_path / "b")
+    prefix = str(tmp_path / "p")
+    env = dict(os.environ)
+    r = subprocess.run(["cmake", "-S", os.path.join(REPO, "native"), "-B", build,
+                        "-G", "Ninja", f"-DCMAKE_INSTALL_PREFIX={prefix}"],
+                       capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(["cmake", "--build", build], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(["cmake", "--install", build], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(os.path.join(prefix, "include", "backscrub.h"))
+    assert os.path.exists(os.path.join(prefix, "lib", "cmake", "BackscrubTpu",
+                                       "BackscrubTpuConfig.cmake"))
+    # a consumer project can find_package it
+    consumer = tmp_path / "consumer"
+    consumer.mkdir()
+    (consumer / "CMakeLists.txt").write_text(
+        "cmake_minimum_required(VERSION 3.16)\nproject(c CXX)\n"
+        "find_package(BackscrubTpu REQUIRED)\n"
+        "get_target_property(loc BackscrubTpu::bsio IMPORTED_LOCATION)\n"
+        "message(STATUS \"bsio at ${loc}\")\n")
+    r = subprocess.run(["cmake", "-S", str(consumer), "-B", str(consumer / "b"),
+                        f"-DBackscrubTpu_DIR={prefix}/lib/cmake/BackscrubTpu"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "bsio at" in r.stdout
