@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..tflite.ir import GraphIR
 from ..ops.registry import get_lowering
 # Import for lowering registration side effects.
-from ..ops import conv as _conv, elementwise as _ew, pool as _pool, misc as _misc  # noqa: F401
+from ..ops import (conv as _conv, elementwise as _ew, pool as _pool,  # noqa: F401
+                   misc as _misc, shape_ops as _shape)
 
 
 class LoweringCtx:
@@ -49,6 +50,10 @@ class LoweringCtx:
         # key -> dict(tensor_index, inverse, dtype): how to map a (possibly
         # fine-tuned) param back into the original .tflite weight layout
         self.weight_meta = weight_meta if weight_meta is not None else {}
+        # trace-time known values for shape-plumbing ops (SHAPE ->
+        # STRIDED_SLICE -> PACK -> RESHAPE chains emitted by the converter);
+        # shapes are static under XLA, so these fold at trace time
+        self.static_vals: Dict[int, np.ndarray] = {}
 
     def key(self, idx: int) -> str:
         return f"t{idx}"
@@ -93,10 +98,23 @@ class LoweringCtx:
         return val
 
     def const_value(self, idx: int) -> np.ndarray:
+        if idx in self.static_vals:
+            return self.static_vals[idx]
         t = self.graph.tensor(idx)
         if not t.is_constant:
             raise ValueError(f"tensor {t!r} must be a build-time constant")
         return t.data
+
+    def maybe_static(self, idx: int) -> Optional[np.ndarray]:
+        """Trace-time value if known (constant or folded shape math)."""
+        if idx in self.static_vals:
+            return self.static_vals[idx]
+        t = self.graph.tensor(idx)
+        return t.data if t.is_constant else None
+
+    def set_static(self, idx: int, value: np.ndarray):
+        self.static_vals[idx] = np.asarray(value)
+        self.env[idx] = jnp.asarray(value)
 
     def set(self, idx: int, val):
         self.env[idx] = val

@@ -114,6 +114,20 @@ def _parse_builtin_options(sg, op, op_name: str) -> Dict[str, Any]:
         t = _init_options(sg, "ReducerOptions", op)
         if t:
             o = dict(keep_dims=bool(t.KeepDims()))
+    elif op_name == "STRIDED_SLICE":
+        t = _init_options(sg, "StridedSliceOptions", op)
+        if t:
+            o = dict(begin_mask=t.BeginMask(), end_mask=t.EndMask(),
+                     ellipsis_mask=t.EllipsisMask(), new_axis_mask=t.NewAxisMask(),
+                     shrink_axis_mask=t.ShrinkAxisMask())
+    elif op_name == "PACK":
+        t = _init_options(sg, "PackOptions", op)
+        if t:
+            o = dict(axis=t.Axis(), values_count=t.ValuesCount())
+    elif op_name == "UNPACK":
+        t = _init_options(sg, "UnpackOptions", op)
+        if t:
+            o = dict(axis=t.Axis(), num=t.Num())
     elif op_name == "TRANSPOSE_CONV":
         t = _init_options(sg, "TransposeConvOptions", op)
         if t:

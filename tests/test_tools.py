@@ -40,6 +40,36 @@ def test_convert_keras_model_loads_in_executor(tmp_path):
     np.testing.assert_allclose(y, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_convert_model_with_shape_plumbing(tmp_path):
+    """Flatten+Dense heads emit SHAPE->STRIDED_SLICE->PACK->RESHAPE chains;
+    these must fold at trace time (static shapes under XLA)."""
+    tf = pytest.importorskip("tensorflow")
+    inp = tf.keras.Input((16, 16, 3))
+    x = tf.keras.layers.Conv2D(4, 3, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    x = tf.keras.layers.Flatten()(x)
+    out = tf.keras.layers.Dense(10, activation="softmax")(x)
+    model = tf.keras.Model(inp, out)
+    blob = tf.lite.TFLiteConverter.from_keras_model(model).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    m = build_model(g)
+    x_in = np.random.default_rng(0).random(m.input_shape, np.float32)
+    y = np.asarray(m(x_in))
+
+    import tensorflow as tf2
+    it = tf2.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x_in)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    np.testing.assert_allclose(y, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_loopback_selftest_harness(tmp_path):
     out = str(tmp_path / "pattern.yuv")
     r = subprocess.run(
