@@ -201,7 +201,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if window is not None and not window.available:
         print("debug: no display available, HUD disabled", file=sys.stderr)
 
-    pending = None  # (device_out, ) 2-deep pipeline
+    from .runtime.serving import ServingLoop
+    loop = ServingLoop(pipe, depth=3)
+
     n = 0
     try:
         while state.running and (cfg["frames"] == 0 or n < cfg["frames"]):
@@ -211,36 +213,43 @@ def main(argv: Optional[List[str]] = None) -> int:
                 break
             timer.mark("grab")
             bg = background.grab(cw, ch) if background else None
-            out, mask = pipe.step(frame, bg,
-                                  flip_horizontal=state.flip_horizontal,
-                                  flip_vertical=state.flip_vertical,
-                                  filter_active=state.filter_active)
-            timer.mark("dispatch")
-            if pending is not None:
-                sink.write_yuyv(np.asarray(pending))
-                timer.mark("sink")
-            pending = out
-            n += 1
-            timer.frame_done()
-            if cfg["progress"]:
-                print(".", end="", flush=True)
-            if cfg["debug"] and n % 120 == 0:
-                print(timer.report_line(), file=sys.stderr)
+            toggles = dict(flip_horizontal=state.flip_horizontal,
+                           flip_vertical=state.flip_vertical,
+                           filter_active=state.filter_active)
             if window is not None and window.available:
+                # HUD mode: synchronous step so the mask/output pair shown
+                # is the frame just processed (debug, not perf-critical)
                 import cv2
-                yuyv = np.asarray(out).reshape(vh, vw, 2)
-                test = cv2.cvtColor(yuyv, cv2.COLOR_YUV2BGR_YUY2)
+                out, mask = pipe.step(frame, bg, **toggles)
+                timer.mark("dispatch")
+                out_np = np.asarray(out)
+                sink.write_yuyv(out_np)
+                timer.mark("sink")
+                test = cv2.cvtColor(out_np.reshape(vh, vw, 2),
+                                    cv2.COLOR_YUV2BGR_YUY2)
                 view = compose_debug_view(
                     test, state, mask=np.asarray(mask),
                     bg_thumb=background.thumbnail() if background else None,
                     main_fps=timer.fps, ai_fps=timer.fps,
                     cap_geo=(cw, ch), vid_geo=(vw, vh))
                 window.show(view, state)
+            else:
+                loop.submit(frame, bg, **toggles)
+                timer.mark("dispatch")
+                while loop.ready():
+                    sink.write_yuyv(np.asarray(loop._ring.popleft()))
+                    timer.mark("sink")
+            n += 1
+            timer.frame_done()
+            if cfg["progress"]:
+                print(".", end="", flush=True)
+            if cfg["debug"] and n % 120 == 0:
+                print(timer.report_line(), file=sys.stderr)
     except KeyboardInterrupt:
         pass
     finally:
-        if pending is not None:
-            sink.write_yuyv(np.asarray(pending))
+        while loop._ring:
+            sink.write_yuyv(np.asarray(loop._ring.popleft()))
         source.close()
         sink.close()
         if background:

@@ -1,0 +1,78 @@
+"""Serving loop: overlap host I/O with device compute.
+
+The reference hides ~100 ms of inference behind a worker thread
+(CalcMask).  Here the device step is ~0.1 ms and the bottleneck is the
+host<->device link (SURVEY.md §7 "Host I/O becomes the bottleneck"), so
+the serving loop pipelines differently:
+
+  upload(frame i+1)  ||  dispatch(step i)  ||  async-fetch(result i-k)  ||  sink(result i-k-1)
+
+A small in-flight ring holds device results; ``copy_to_host_async`` starts
+their D2H transfers as soon as they are produced, and the sink consumes
+them ``depth`` frames later — so transfer latency is overlapped, not paid
+per frame.  ``depth=2`` reproduces the CLI's simple behavior; deeper rings
+help high-latency links (e.g. remote-attached accelerators).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..pipeline.frame import FramePipeline
+
+
+class ServingLoop:
+    """Pipelined frame server around a FramePipeline.
+
+    ``run(source, sink, background=None, frames=0)`` pulls BGR frames from
+    ``source`` (callable -> frame | None), pushes packed YUYV results into
+    ``sink`` (callable), keeping ``depth`` results in flight.
+    """
+
+    def __init__(self, pipe: FramePipeline, depth: int = 3):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.pipe = pipe
+        self.depth = depth
+        self._ring: collections.deque = collections.deque()
+
+    def _drain_one(self, sink: Callable[[np.ndarray], None]):
+        out = self._ring.popleft()
+        sink(np.asarray(out))
+
+    def submit(self, frame, background=None, **step_kwargs):
+        """Dispatch one frame; starts its async D2H immediately."""
+        out, _mask = self.pipe.step(frame, background, **step_kwargs)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # platforms without async copy: np.asarray later blocks
+        self._ring.append(out)
+
+    def ready(self) -> bool:
+        return len(self._ring) > self.depth
+
+    def run(self, source: Callable[[], Optional[np.ndarray]],
+            sink: Callable[[np.ndarray], None],
+            background: Optional[Callable[[], Optional[np.ndarray]]] = None,
+            frames: int = 0, **step_kwargs) -> int:
+        n = 0
+        try:
+            while frames == 0 or n < frames:
+                frame = source()
+                if frame is None:
+                    break
+                bg = background() if background else None
+                self.submit(frame, bg, **step_kwargs)
+                n += 1
+                while self.ready():
+                    self._drain_one(sink)
+        finally:
+            while self._ring:
+                self._drain_one(sink)
+        return n

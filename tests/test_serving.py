@@ -1,0 +1,48 @@
+"""Serving-loop tests: ordering, depth semantics, drain on EOF."""
+
+import numpy as np
+import pytest
+
+from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+from backscrub_tpu.runtime.serving import ServingLoop
+
+from conftest import model_path
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return FramePipeline(model_path("segm_lite_v681.tflite"),
+                         PipelineConfig(width=64, height=48, use_bilateral=False))
+
+
+def test_serving_preserves_order_and_count(pipe, rng):
+    frames = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(10)]
+    bg = np.zeros((48, 64, 3), np.uint8)
+    # golden: sequential steps on a fresh pipeline state
+    pipe.reset()
+    golden = []
+    for f in frames:
+        out, _ = pipe.step(f, bg)
+        golden.append(np.asarray(out).copy())
+
+    pipe.reset()
+    loop = ServingLoop(pipe, depth=3)
+    got = []
+    it = iter(frames)
+    n = loop.run(lambda: next(it, None), got.append, background=lambda: bg)
+    assert n == 10 and len(got) == 10
+    for g, o in zip(golden, got):
+        np.testing.assert_array_equal(g, o)
+
+
+def test_serving_frame_budget(pipe, rng):
+    frames = iter(rng.integers(0, 256, (20, 48, 64, 3), np.uint8))
+    outs = []
+    loop = ServingLoop(pipe, depth=2)
+    n = loop.run(lambda: next(frames, None), outs.append, frames=5)
+    assert n == 5 and len(outs) == 5
+
+
+def test_serving_bad_depth(pipe):
+    with pytest.raises(ValueError):
+        ServingLoop(pipe, depth=0)
