@@ -163,11 +163,21 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"device {jax.devices()[0]})", file=sys.stderr)
 
     cw, ch = cfg["cap_geo"]
-    source = open_source(cfg["ccam"], cw, ch, cfg["fourcc"])
+    try:
+        source = open_source(cfg["ccam"], cw, ch, cfg["fourcc"])
+    except OSError as e:
+        print(f"Error: cannot open capture source {cfg['ccam']}: {e}",
+              file=sys.stderr)
+        return 1
     cw, ch = source.width, source.height  # adopt granted geometry
     vw, vh = cfg["vid_geo"] or (cw, ch)
 
-    model_path = resolve_model_path(cfg["model"])
+    try:
+        model_path = resolve_model_path(cfg["model"])
+    except FileNotFoundError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        source.close()
+        return 1
     pcfg = PipelineConfig(
         width=cw, height=ch, out_width=vw, out_height=vh,
         blur_strength=cfg["blur_strength"],

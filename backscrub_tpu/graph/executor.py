@@ -172,9 +172,12 @@ def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision,
            acc_dtype, weight_meta=None):
     ctx = LoweringCtx(graph, params, prepared, compute_dtype, precision,
                       acc_dtype, weight_meta)
-    if len(graph.inputs) != 1:
-        raise NotImplementedError("multi-input graphs not supported yet")
-    ctx.set(graph.inputs[0], x.astype(compute_dtype))
+    xs = x if isinstance(x, (tuple, list)) else (x,)
+    if len(graph.inputs) != len(xs):
+        raise ValueError(f"graph has {len(graph.inputs)} inputs, got {len(xs)}")
+    for idx, xv in zip(graph.inputs, xs):
+        ctx.set(idx, xv.astype(compute_dtype)
+                if jnp.issubdtype(xv.dtype, jnp.floating) else xv)
     for node in graph.nodes:
         get_lowering(node.kind)(ctx, node)
     outs = [ctx.get(i) for i in graph.outputs]
@@ -196,8 +199,16 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     # Populate `prepared` with one eager numpy trace (abstract eval): run the
     # trace with eval_shape so get_const registers every weight without
     # touching the device.
+    def _in_spec(i):
+        t = graph.tensor(i)
+        dt = compute_dtype if np.issubdtype(t.dtype, np.floating) else t.dtype
+        return jax.ShapeDtypeStruct(tuple(t.shape), dt)
+
     in_t = graph.tensor(graph.inputs[0])
-    x_spec = jax.ShapeDtypeStruct(tuple(in_t.shape), compute_dtype)
+    if len(graph.inputs) == 1:
+        x_spec = _in_spec(graph.inputs[0])
+    else:
+        x_spec = tuple(_in_spec(i) for i in graph.inputs)
     weight_meta: Dict[str, Any] = {}
     jax.eval_shape(partial(_trace, graph, {}, prepared,
                            compute_dtype=compute_dtype, precision=precision,

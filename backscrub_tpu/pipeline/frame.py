@@ -55,6 +55,13 @@ class FramePipeline:
     def __init__(self, model: str, config: PipelineConfig, *,
                  compute_dtype=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST):
+        if config.output_format == "yuyv":
+            for label, w in [("width", config.width),
+                             ("out_width", config.out_width or config.width)]:
+                if w % 2:
+                    raise ValueError(
+                        f"{label}={w}: YUYV output needs an even width "
+                        "(chroma is shared per pixel pair)")
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,

@@ -143,6 +143,11 @@ class MaskGen:
     def process(self, frame_bgr_u8) -> np.ndarray:
         """Frame (H, W, 3) BGR u8 -> mask (H, W) u8. bs_maskgen_process equivalent."""
         frame = jnp.asarray(frame_bgr_u8)
+        expected = (self.geo.frame_h, self.geo.frame_w, 3)
+        if frame.shape != expected:
+            raise ValueError(
+                f"frame shape {tuple(frame.shape)} != expected {expected} "
+                f"(geometry fixed at bs_maskgen_new time, like the reference)")
         if self.fused:
             mask, self.ema = self._step(self.model.params, frame, self.ema)
             return np.asarray(mask)
