@@ -49,6 +49,7 @@ usage:
 -V            Mirror the output vertically
 --frames N    Process N frames then exit (0 = run forever)
 --bf16        Run the CNN in bfloat16 (fastest on TPU)
+--int8        Quantize conv/dense weights to per-channel int8
 --no-bilateral  Skip the bilateral prefilter
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
 """
@@ -60,7 +61,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                background=None, model="selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
                blur_strength=0, flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
-               frames=0, bf16=False, bilateral=True, correct_colors=False)
+               frames=0, bf16=False, int8=False, bilateral=True, correct_colors=False)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -115,6 +116,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["frames"] = int(val())
         elif a == "--bf16":
             cfg["bf16"] = True
+        elif a == "--int8":
+            cfg["int8"] = True
         elif a == "--no-bilateral":
             cfg["bilateral"] = False
         elif a == "--correct-colors":
@@ -189,6 +192,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,
         precision=(jax.lax.Precision.DEFAULT if cfg["bf16"]
                    else jax.lax.Precision.HIGHEST),
+        quantize="int8" if cfg["int8"] else None,
     )
 
     if cfg["debug"]:

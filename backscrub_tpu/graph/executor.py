@@ -89,10 +89,14 @@ class LoweringCtx:
             else:
                 store = arr
             self.prepared[key] = np.ascontiguousarray(store)
-        if key in self.params:
-            val = self.params[key]
-        else:
-            val = jnp.asarray(self.prepared[key])
+        store = self.params if key in self.params else None
+        val = store[key] if store is not None else jnp.asarray(self.prepared[key])
+        skey = key + "__scale"
+        scale = (store.get(skey) if store is not None
+                 else (jnp.asarray(self.prepared[skey]) if skey in self.prepared else None))
+        if scale is not None and jnp.issubdtype(val.dtype, jnp.signedinteger):
+            # int8 per-channel quantized kernel: dequantize on the fly
+            return val.astype(self.compute_dtype) * scale.astype(self.compute_dtype)
         if jnp.issubdtype(val.dtype, jnp.floating) and val.dtype != self.compute_dtype:
             val = val.astype(self.compute_dtype)
         return val
@@ -186,12 +190,15 @@ def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision,
 
 def build_model(graph: GraphIR, compute_dtype=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-                acc_dtype=jnp.float32, jit: bool = True) -> CompiledModel:
+                acc_dtype=jnp.float32, jit: bool = True,
+                quantize: Optional[str] = None) -> CompiledModel:
     """Build a CompiledModel from IR.
 
     compute_dtype=jnp.bfloat16 gives the fast path (MXU-native); float32 with
     ``Precision.HIGHEST`` gives the parity path used by the golden tests
-    (IoU >= 0.99 vs TFLite CPU, SURVEY.md §4).
+    (IoU >= 0.99 vs TFLite CPU, SURVEY.md §4).  quantize="int8" stores conv/
+    dense kernels as symmetric per-channel int8 (quant/ptq.py), dequantized
+    on the fly — ~4x less weight traffic.
     """
     graph = fold_constants(graph)
     prepared: Dict[str, np.ndarray] = {}
@@ -213,6 +220,13 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     jax.eval_shape(partial(_trace, graph, {}, prepared,
                            compute_dtype=compute_dtype, precision=precision,
                            acc_dtype=acc_dtype, weight_meta=weight_meta), x_spec)
+
+    if quantize == "int8":
+        from ..quant.ptq import boundary_keys, quantize_params
+        qparams, scales = quantize_params(prepared, weight_meta,
+                                          exclude=boundary_keys(graph))
+        prepared = dict(qparams)
+        prepared.update({k + "__scale": v for k, v in scales.items()})
 
     params = {k: jnp.asarray(v) for k, v in prepared.items()}
 

@@ -54,7 +54,8 @@ class FramePipeline:
 
     def __init__(self, model: str, config: PipelineConfig, *,
                  compute_dtype=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST,
+                 quantize=None):
         if config.output_format == "yuyv":
             for label, w in [("width", config.width),
                              ("out_width", config.out_width or config.width)]:
@@ -65,7 +66,8 @@ class FramePipeline:
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,
-                               use_bilateral=config.use_bilateral)
+                               use_bilateral=config.use_bilateral,
+                               quantize=quantize)
         self.spec = self.maskgen.spec
         self.geo = self.maskgen.geo
         self.precision = precision

@@ -97,6 +97,7 @@ class MaskGen:
                  precision=jax.lax.Precision.HIGHEST,
                  use_bilateral: bool = True,
                  fused: bool = True,
+                 quantize=None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
                  onmask: Optional[Callable] = None,
@@ -105,7 +106,8 @@ class MaskGen:
         self.spec = spec_for_model(self.model_path)
         self.model: CompiledModel = load_model(self.model_path,
                                                compute_dtype=compute_dtype,
-                                               precision=precision)
+                                               precision=precision,
+                                               quantize=quantize)
         ih, iw = self.model.input_shape[1:3]
         oh, ow = self.model.output_shape[1:3]
         self.geo = compute_roi(width, height, iw, ih, ow, oh)

@@ -1,0 +1,64 @@
+"""int8 weight quantization tests: mechanics + mask IoU budget."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from backscrub_tpu.graph.executor import load_model
+from backscrub_tpu.pipeline.maskgen import MaskGen
+from backscrub_tpu.quant.ptq import quantize_per_channel
+
+from conftest import model_path
+
+SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+
+
+def test_quantize_per_channel_roundtrip(rng):
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    w_q, s = quantize_per_channel(w, channel_axis=3)
+    assert w_q.dtype == np.int8 and s.shape == (1, 1, 1, 16)
+    back = w_q.astype(np.float32) * s
+    assert np.abs(back - w).max() <= np.abs(w).max() / 127.0
+
+
+def test_int8_model_params_shrink():
+    p = model_path("segm_lite_v681.tflite")
+    m32 = load_model(p)
+    m8 = load_model(p, quantize="int8")
+    b32 = sum(v.nbytes for v in m32.params.values())
+    b8 = sum(v.nbytes for v in m8.params.values())
+    # most weights are f16-stored already and FC kernels stay full
+    # precision, so the shrink is modest on this model family
+    assert b8 < 0.9 * b32
+    kinds = {str(v.dtype) for v in m8.params.values()}
+    assert "int8" in kinds
+
+
+def test_int8_decode_agreement(rng):
+    p = model_path("segm_lite_v681.tflite")
+    m32 = load_model(p)
+    m8 = load_model(p, quantize="int8")
+    x = rng.random(m32.input_shape, np.float32)
+    y32, y8 = np.asarray(m32(x)), np.asarray(m8(x))
+    agree = ((y32[..., 1] > y32[..., 0]) == (y8[..., 1] > y8[..., 0])).mean()
+    assert agree >= 0.995
+
+
+def test_int8_mask_iou():
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("asset missing")
+    frame = cv2.resize(frame, (640, 480))
+    p = model_path("segm_lite_v681.tflite")
+    mg32 = MaskGen(p, 640, 480)
+    mg8 = MaskGen(p, 640, 480, quantize="int8")
+    for _ in range(4):
+        m32 = mg32.process(frame)
+        m8 = mg8.process(frame)
+    a, b = m32 < 128, m8 < 128
+    union = np.logical_or(a, b).sum()
+    iou = 1.0 if union == 0 else np.logical_and(a, b).sum() / union
+    # measured ~0.973 on the reference screenshot: int8 on top of f16
+    # weights flips ~3% of boundary pixels; opt-in feature, documented
+    assert iou >= 0.96, f"int8 IoU vs f32 = {iou:.4f}"
