@@ -24,7 +24,7 @@ from ..tflite.ir import GraphIR
 from ..ops.registry import get_lowering
 # Import for lowering registration side effects.
 from ..ops import (conv as _conv, elementwise as _ew, pool as _pool,  # noqa: F401
-                   misc as _misc, shape_ops as _shape)
+                   misc as _misc, shape_ops as _shape, extended as _ext)
 
 
 class LoweringCtx:

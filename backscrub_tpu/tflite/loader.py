@@ -110,10 +110,31 @@ def _parse_builtin_options(sg, op, op_name: str) -> Dict[str, Any]:
             o = dict(beta=t.Beta())
     elif op_name == "PAD":
         pass  # paddings come as a constant input tensor
-    elif op_name == "MEAN":
+    elif op_name in ("MEAN", "SUM", "REDUCE_MAX", "REDUCE_MIN", "REDUCE_PROD"):
         t = _init_options(sg, "ReducerOptions", op)
         if t:
             o = dict(keep_dims=bool(t.KeepDims()))
+    elif op_name in ("SPACE_TO_DEPTH", "DEPTH_TO_SPACE"):
+        t = _init_options(sg, op_name.title().replace("_", "") + "Options", op)
+        if t:
+            o = dict(block_size=t.BlockSize())
+    elif op_name == "MIRROR_PAD":
+        t = _init_options(sg, "MirrorPadOptions", op)
+        if t:
+            o = dict(mode=t.Mode())
+    elif op_name == "GATHER":
+        t = _init_options(sg, "GatherOptions", op)
+        if t:
+            o = dict(axis=t.Axis())
+    elif op_name == "RESIZE_NEAREST_NEIGHBOR":
+        t = _init_options(sg, "ResizeNearestNeighborOptions", op)
+        if t:
+            o = dict(align_corners=bool(t.AlignCorners()),
+                     half_pixel_centers=bool(t.HalfPixelCenters()))
+    elif op_name == "LEAKY_RELU":
+        t = _init_options(sg, "LeakyReluOptions", op)
+        if t:
+            o = dict(alpha=t.Alpha())
     elif op_name == "STRIDED_SLICE":
         t = _init_options(sg, "StridedSliceOptions", op)
         if t:

@@ -70,6 +70,41 @@ def test_convert_model_with_shape_plumbing(tmp_path):
     np.testing.assert_allclose(y, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_extended_op_coverage(tmp_path):
+    """Space/depth moves, NN-resize, mirror pad, unary math, reducers,
+    l2-normalize: converted graphs using the extended op set match TFLite."""
+    tf = pytest.importorskip("tensorflow")
+    inp = tf.keras.Input((16, 16, 4))
+    y = tf.keras.layers.Lambda(lambda x: tf.nn.space_to_depth(x, 2))(inp)
+    y = tf.keras.layers.Lambda(lambda x: tf.nn.depth_to_space(x, 2))(y)
+    y = tf.keras.layers.Lambda(
+        lambda x: tf.image.resize(x, (32, 32), method="nearest"))(y)
+    y = tf.keras.layers.Lambda(
+        lambda x: tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]], mode="REFLECT"))(y)
+    y = tf.keras.layers.Lambda(
+        lambda x: tf.abs(x) + tf.sqrt(tf.abs(x) + 1.0) - tf.exp(-x))(y)
+    y = tf.keras.layers.Lambda(
+        lambda x: tf.reduce_sum(x, axis=-1, keepdims=True))(y)
+    y = tf.keras.layers.Lambda(lambda x: tf.nn.l2_normalize(x, axis=-1))(y)
+    model = tf.keras.Model(inp, y)
+    blob = tf.lite.TFLiteConverter.from_keras_model(model).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    m = build_model(load_tflite_bytes(blob))
+    x = np.random.default_rng(0).random((1, 16, 16, 4), np.float32)
+    got = np.asarray(m(x))
+
+    it = tf.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_loopback_selftest_harness(tmp_path):
     out = str(tmp_path / "pattern.yuv")
     r = subprocess.run(
