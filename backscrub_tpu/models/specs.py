@@ -16,13 +16,18 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
-    kind: str                      # "deeplab" | "bodypix" | "meet" | "selfie" | "unknown"
+    kind: str                      # "deeplab" | "bodypix" | "meet" | "selfie" | "multiclass" | "unknown"
     scale: float                   # input normalization: x * scale + offset
     offset: float
-    decode: str                    # "argmax_person" | "threshold" | "two_channel"
+    decode: str                    # "argmax_person" | "threshold" | "two_channel" | "argmax_not_background"
     threshold: float = 0.65        # for decode == "threshold" (libbackscrub.cc:338)
     person_class: int = 15         # PASCAL-VOC "person" for deeplab (libbackscrub.cc:154-159)
-    num_classes: int = 21
+    num_classes: int = 21          # expected output channels for argmax decodes
+
+    def expected_channels(self):
+        """Output-channel count this decode rule needs (None = any)."""
+        return {"argmax_person": self.num_classes, "two_channel": 2,
+                "threshold": 1, "argmax_not_background": self.num_classes}.get(self.decode)
 
 
 _SPECS = {
@@ -30,12 +35,17 @@ _SPECS = {
     "bodypix": ModelSpec("bodypix", scale=1 / 255.0, offset=0.0, decode="threshold"),
     "meet": ModelSpec("meet", scale=1 / 255.0, offset=0.0, decode="two_channel"),
     "selfie": ModelSpec("selfie", scale=1 / 255.0, offset=0.0, decode="threshold"),
+    # MediaPipe multiclass selfie family (256x256x6: bg, hair, body-skin,
+    # face-skin, clothes, other): any non-background argmax is foreground
+    "multiclass": ModelSpec("multiclass", scale=1 / 255.0, offset=0.0,
+                            decode="argmax_not_background", num_classes=6),
     "unknown": ModelSpec("unknown", scale=1 / 255.0, offset=0.0, decode="threshold"),
 }
 
 
 def spec_for_model(model_path: str) -> ModelSpec:
-    """Filename -> spec, mirroring get_modeltype (lib/libbackscrub.cc:116-130)."""
+    """Filename -> spec, mirroring get_modeltype (lib/libbackscrub.cc:116-130),
+    extended with the multiclass selfie family."""
     name = os.path.basename(model_path)
     if "body-pix" in name:
         return _SPECS["bodypix"]
@@ -43,6 +53,8 @@ def spec_for_model(model_path: str) -> ModelSpec:
         return _SPECS["deeplab"]
     if "segm_" in name:
         return _SPECS["meet"]
+    if "multiclass" in name:
+        return _SPECS["multiclass"]
     if "selfie" in name:
         return _SPECS["selfie"]
     return _SPECS["unknown"]

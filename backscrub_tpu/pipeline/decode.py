@@ -30,6 +30,9 @@ def decode_val(model_out, spec: ModelSpec):
         # lib/libbackscrub.cc:342-357 — softmax(p0,p1), p1 wins => person.
         # softmax is monotone: p0 < p1  <=>  logit0 < logit1.
         person = model_out[..., 0] < model_out[..., 1]
+    elif spec.decode == "argmax_not_background":
+        # multiclass heads (class 0 = background): any other class wins
+        person = jnp.argmax(model_out, axis=-1) != 0
     else:
         raise ValueError(f"unknown decode rule {spec.decode!r}")
     return jnp.where(person, jnp.uint8(0), jnp.uint8(255))

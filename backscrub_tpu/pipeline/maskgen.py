@@ -110,6 +110,13 @@ class MaskGen:
                                                quantize=quantize)
         ih, iw = self.model.input_shape[1:3]
         oh, ow = self.model.output_shape[1:3]
+        want = self.spec.expected_channels()
+        got = self.model.output_shape[-1]
+        if want is not None and got != want:
+            raise ValueError(
+                f"model output has {got} channels but decode rule "
+                f"{self.spec.decode!r} expects {want}; check the model/spec "
+                f"pairing (filename-keyed, models/specs.py)")
         self.geo = compute_roi(width, height, iw, ih, ow, oh)
         self.precision = precision
         self.use_bilateral = use_bilateral

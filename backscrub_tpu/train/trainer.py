@@ -48,6 +48,13 @@ def segmentation_loss(spec: ModelSpec):
         if spec.decode == "two_channel":
             logp = jax.nn.log_softmax(out, axis=-1)
             return -jnp.mean(target * logp[..., 1] + (1 - target) * logp[..., 0])
+        if spec.decode == "argmax_not_background":
+            # multiclass head, class 0 = background: person target maximizes
+            # P(any non-background class) = 1 - softmax(out)[..., 0]
+            logp = jax.nn.log_softmax(out, axis=-1)
+            log_bg = logp[..., 0]
+            log_fg = jnp.log1p(-jnp.exp(jnp.clip(log_bg, a_max=-1e-6)))
+            return -jnp.mean(target * log_fg + (1 - target) * log_bg)
         if spec.decode == "argmax_person":
             logp = jax.nn.log_softmax(out, axis=-1)
             person = logp[..., spec.person_class]
@@ -55,6 +62,8 @@ def segmentation_loss(spec: ModelSpec):
                 jnp.delete(out, spec.person_class, axis=-1, assume_unique_indices=True),
                 axis=-1) - jax.nn.logsumexp(out, axis=-1)
             return -jnp.mean(target * person + (1 - target) * other)
+        if spec.decode != "threshold":
+            raise ValueError(f"no training loss for decode rule {spec.decode!r}")
         # threshold heads emit probabilities (post-sigmoid) — clamped BCE
         p = jnp.clip(out[..., 0], 1e-6, 1 - 1e-6)
         return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))

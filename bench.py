@@ -32,7 +32,8 @@ WARMUP = 10
 ITERS = 500
 
 
-def build_pipe(model, w, h, blur=0, dtype=None, out_format="yuyv"):
+def build_pipe(model, w, h, blur=0, dtype=None, out_format="yuyv",
+               precision=None, quantize=None):
     import jax
     import jax.numpy as jnp
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
@@ -41,7 +42,9 @@ def build_pipe(model, w, h, blur=0, dtype=None, out_format="yuyv"):
     cfg = PipelineConfig(width=w, height=h, blur_strength=blur,
                          output_format=out_format)
     return FramePipeline(resolve_model_path(model), cfg,
-                         compute_dtype=dtype or jnp.float32)
+                         compute_dtype=dtype or jnp.float32,
+                         precision=precision or jax.lax.Precision.HIGHEST,
+                         quantize=quantize)
 
 
 def measure(pipe, w, h, iters=ITERS, bg_frames=None):
@@ -155,10 +158,20 @@ def run_config_sweep():
         ("segm_full_720p", "segm_full_v679.tflite", 1280, 720, 0),
         ("bodypix_640x480", "body-pix-float-050-8.tflite", 640, 480, 0),
         ("segm_lite_1080p_bgblur", "segm_lite_v681.tflite", 1920, 1080, 25),
+        ("segm_lite_720p_bf16", "segm_lite_v681.tflite", 1280, 720, 0),
+        ("segm_lite_720p_int8", "segm_lite_v681.tflite", 1280, 720, 0),
     ]
     for name, model, w, h, blur in configs:
         try:
-            pipe = build_pipe(model, w, h, blur=blur)
+            import jax as _jax
+            import jax.numpy as _jnp
+            extra = {}
+            if name.endswith("_bf16"):
+                extra = dict(dtype=_jnp.bfloat16,
+                             precision=_jax.lax.Precision.DEFAULT)
+            elif name.endswith("_int8"):
+                extra = dict(quantize="int8")
+            pipe = build_pipe(model, w, h, blur=blur, **extra)
             bg_frames = None
             if "1080p" in name:
                 # animated webm background decoded host-side, cycled on device

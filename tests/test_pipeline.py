@@ -46,6 +46,15 @@ def test_decode_two_channel(rng):
     np.testing.assert_array_equal(val, np.where(out[..., 0] < out[..., 1], 0, 255).astype(np.uint8))
 
 
+def test_decode_multiclass(rng):
+    spec = spec_for_model("selfie_multiclass_256x256.tflite")
+    assert spec.decode == "argmax_not_background"
+    out = rng.standard_normal((4, 4, 6)).astype(np.float32)
+    val = np.asarray(decode_val(jnp.asarray(out), spec))
+    expected = np.where(out.argmax(-1) != 0, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(val, expected)
+
+
 def test_ema_bit_trick():
     prev = np.array([255, 0, 128, 7], np.uint8)
     val = np.array([0, 255, 255, 0], np.uint8)
