@@ -155,6 +155,25 @@ def iou(a_person, b_person):
     return 1.0 if union == 0 else inter / union
 
 
+def test_temporal_ema_sequence_matches_golden():
+    """EMA evolution across a CHANGING frame sequence (person appears then
+    leaves) must track the golden implementation frame by frame."""
+    path = model_path("segm_lite_v681.tflite")
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("screenshot asset unavailable")
+    person = cv2.resize(frame, (640, 480))
+    empty = cv2.GaussianBlur(person, (51, 51), 0)  # person washed out
+    seq = [person, person, empty, empty, empty, person]
+    spec = spec_for_model(path)
+    golden = reference_maskgen(path, seq, 640, 480, spec)
+    mg = MaskGen(path, 640, 480)
+    for f in seq:
+        ours = mg.process(f)
+    score = iou(ours < 128, golden < 128)
+    assert score >= 0.99, f"temporal IoU {score:.4f}"
+
+
 @pytest.mark.parametrize("name", [
     "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
     "segm_lite_v681.tflite",
