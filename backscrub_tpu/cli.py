@@ -105,11 +105,19 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["model"] = val()
         elif a == "-p":
             opt = val()
-            if opt.startswith("bgblur:"):
-                n = int(opt.split(":", 1)[1])
-                if n % 2 == 0:
-                    n += 1  # Gaussian kernels must be odd
-                cfg["blur_strength"] = n
+            if opt.startswith("bgblur"):
+                # reference behavior (app/deepseg.cc:420-430): odd required,
+                # non-numeric value falls back to default strength 25
+                value = opt.split(":", 1)[1] if ":" in opt else ""
+                if value.isdigit():
+                    n = int(value)
+                    if n % 2 == 0:
+                        raise ValueError("strength value must be odd")
+                    cfg["blur_strength"] = n
+                else:
+                    print("No strength value supplied, using default strength 25",
+                          file=sys.stderr)
+                    cfg["blur_strength"] = 25
             else:
                 raise ValueError(f"unknown post-processing option {opt!r}")
         elif a == "--frames":
@@ -250,8 +258,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             else:
                 loop.submit(frame, bg, **toggles)
                 timer.mark("dispatch")
-                while loop.ready():
-                    sink.write_yuyv(np.asarray(loop._ring.popleft()))
+                if loop.drain_ready(sink.write_yuyv):
                     timer.mark("sink")
             n += 1
             timer.frame_done()
@@ -262,8 +269,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        while loop._ring:
-            sink.write_yuyv(np.asarray(loop._ring.popleft()))
+        loop.drain_all(sink.write_yuyv)
         source.close()
         sink.close()
         if background:

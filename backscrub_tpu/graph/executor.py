@@ -61,10 +61,11 @@ class LoweringCtx:
     def get(self, idx: int):
         if idx in self.env:
             return self.env[idx]
-        t = self.graph.tensor(idx)
-        if t.is_constant:
+        # prepared membership first: weight payloads may have been freed from
+        # the IR after the first trace (build_model releases them)
+        if self.key(idx) in self.prepared or self.graph.tensor(idx).is_constant:
             return self.get_const(idx)
-        raise KeyError(f"tensor {t!r} referenced before definition")
+        raise KeyError(f"tensor {self.graph.tensor(idx)!r} referenced before definition")
 
     def get_const(self, idx: int, prepare: Optional[Callable] = None,
                   inverse: Optional[Callable] = None):
@@ -229,6 +230,17 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
         prepared.update({k + "__scale": v for k, v in scales.items()})
 
     params = {k: jnp.asarray(v) for k, v in prepared.items()}
+
+    # Release the IR's copy of the weight payloads: they now live on device
+    # (params) with a host staging copy in `prepared`.  Small constants
+    # consumed at trace time (axes/shapes/paddings via const_value) are NOT
+    # in weight_meta and keep their data.
+    for meta in weight_meta.values():
+        idx = meta["tensor_index"]
+        graph.tensor(idx).data = None
+        alias = graph.aliases.get(idx)
+        if alias is not None:
+            graph.tensor(alias).data = None
 
     def raw_fn(p, x):
         return _trace(graph, p, dict(prepared), x, compute_dtype, precision, acc_dtype)

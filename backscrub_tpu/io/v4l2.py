@@ -62,7 +62,11 @@ def load_bsio() -> ctypes.CDLL:
 
 
 def fourcc(code: str) -> int:
-    """'YUYV' -> packed fourcc int (fourCcFromString, app/deepseg.cc:54-77)."""
+    """'YUYV'/'MJPG' or 8-hex-digit form ('47504A4D') -> packed fourcc int
+    (fourCcFromString, app/deepseg.cc:54-77: <=4 chars are space-padded and
+    upper-cased; exactly 8 chars parse as a hex integer)."""
+    if len(code) == 8:
+        return int(code, 16)
     code = (code.upper() + "    ")[:4]
     return (ord(code[0]) | (ord(code[1]) << 8) | (ord(code[2]) << 16)
             | (ord(code[3]) << 24))

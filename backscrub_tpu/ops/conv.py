@@ -119,15 +119,36 @@ def transpose_conv_shape(in_size: int, filter_size: int, stride: int, padding: s
     return out, (lo, hi)
 
 
-def _lower_transpose_conv(ctx, node, x_idx, w_idx, bias_idx, stride_h, stride_w, padding):
+def _conv_pads_for_output(in_size, filter_size, stride, out_size, pad_total):
+    """(lo, hi) padding of the lhs-dilated conv realizing a transposed conv
+    with the given scatter-side total padding and target output size."""
+    p_lead = pad_total // 2
+    lo = filter_size - 1 - p_lead
+    hi = out_size - (stride * (in_size - 1) + 1) - lo + filter_size - 1
+    return lo, hi
+
+
+def _lower_transpose_conv(ctx, node, x_idx, w_idx, bias_idx, stride_h, stride_w,
+                          padding, out_hw=None):
     x = ctx.get(x_idx)
     # OHWI -> flip HW -> HWIO
     w = ctx.get_const(w_idx,
                       prepare=lambda a: np.transpose(a[:, ::-1, ::-1, :], (1, 2, 3, 0)),
                       inverse=lambda a: np.transpose(a, (3, 0, 1, 2))[:, ::-1, ::-1, :])
     fh, fw = w.shape[0], w.shape[1]
-    _, pad_h = transpose_conv_shape(x.shape[1], fh, stride_h, padding)
-    _, pad_w = transpose_conv_shape(x.shape[2], fw, stride_w, padding)
+    if out_hw is None:
+        # MediaPipe custom-op SAME formula (transpose_conv_bias.cc:171-181)
+        _, pad_h = transpose_conv_shape(x.shape[1], fh, stride_h, padding)
+        _, pad_w = transpose_conv_shape(x.shape[2], fw, stride_w, padding)
+    else:
+        # builtin TRANSPOSE_CONV: output shape is given; derive the total
+        # scatter padding from it (tflite transpose_conv.cc ComputePadding:
+        # pad_total = max(0, (in-1)*s + f - out))
+        oh, ow = out_hw
+        pt_h = max(0, (x.shape[1] - 1) * stride_h + fh - oh)
+        pt_w = max(0, (x.shape[2] - 1) * stride_w + fw - ow)
+        pad_h = _conv_pads_for_output(x.shape[1], fh, stride_h, oh, pt_h)
+        pad_w = _conv_pads_for_output(x.shape[2], fw, stride_w, ow, pt_w)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
@@ -155,5 +176,7 @@ def transpose_conv(ctx, node):
     # builtin: inputs = [output_shape(const), weights, data, (bias)]
     o = node.options
     bias = node.inputs[3] if len(node.inputs) > 3 else None
+    out_shape = ctx.const_value(node.inputs[0]).reshape(-1)
     _lower_transpose_conv(ctx, node, node.inputs[2], node.inputs[1], bias,
-                          o["stride_h"], o["stride_w"], o.get("padding", "SAME"))
+                          o["stride_h"], o["stride_w"], o.get("padding", "SAME"),
+                          out_hw=(int(out_shape[1]), int(out_shape[2])))

@@ -65,16 +65,33 @@ def reduce_max(ctx, node):
                                      keepdims=node.options.get("keep_dims", False)))
 
 
+def _nn_indices(in_size: int, out_size: int, align_corners: bool,
+                half_pixel_centers: bool) -> np.ndarray:
+    """TFLite ResizeNearestNeighbor source-index mapping (resize_nearest_neighbor.cc):
+    - legacy: floor(dst * in/out)
+    - align_corners: round(dst * (in-1)/(out-1))
+    - half_pixel_centers: floor((dst + 0.5) * in/out)
+    """
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        idx = np.rint(dst * (in_size - 1) / (out_size - 1))
+    elif half_pixel_centers:
+        idx = np.floor((dst + 0.5) * (in_size / out_size))
+    else:
+        idx = np.floor(dst * (in_size / out_size))
+    return np.clip(idx, 0, in_size - 1).astype(np.int32)
+
+
 @register("RESIZE_NEAREST_NEIGHBOR")
 def resize_nearest(ctx, node):
     x = ctx.get(node.inputs[0])
     size = ctx.const_value(node.inputs[1]).reshape(-1)
     oh, ow = int(size[0]), int(size[1])
-    h, w = x.shape[1], x.shape[2]
     o = node.options
-    # TFLite NN resize: src = floor(dst * in/out) (align_corners variants rare)
-    rows = np.floor(np.arange(oh) * (h / oh)).astype(np.int32)
-    cols = np.floor(np.arange(ow) * (w / ow)).astype(np.int32)
+    ac = o.get("align_corners", False)
+    hpc = o.get("half_pixel_centers", False)
+    rows = _nn_indices(x.shape[1], oh, ac, hpc)
+    cols = _nn_indices(x.shape[2], ow, ac, hpc)
     ctx.set(node.outputs[0], x[:, rows][:, :, cols])
 
 

@@ -14,26 +14,14 @@ padding happens outside (cheap, fused by XLA).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..pipeline import image as _image  # for tap table reuse
-
-
-def _taps(d: int = 5, sigma_space: float = 100.0):
-    radius = d // 2
-    taps = []
-    for i in range(-radius, radius + 1):
-        for j in range(-radius, radius + 1):
-            r2 = i * i + j * j
-            if math.sqrt(r2) > radius:
-                continue
-            taps.append((i, j, math.exp(-0.5 * r2 / (sigma_space ** 2))))
-    return taps
+# single source of truth for the OpenCV tap set/space weights
+from ..pipeline.image import _bilateral_taps as _taps
 
 
 def _bilateral_kernel(x_ref, out_ref, *, taps, inv2sc, rows, cols):
@@ -67,7 +55,7 @@ def bilateral5_pallas(rgb_f32, sigma_color: float = 100.0,
         functools.partial(_bilateral_kernel, taps=taps, inv2sc=inv2sc,
                           rows=h, cols=w),
         out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(xp)
     return jnp.transpose(out, (1, 2, 0))

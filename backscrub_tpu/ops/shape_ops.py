@@ -28,6 +28,9 @@ def _strided_slice_args(ctx, node):
     strides = ctx.const_value(node.inputs[3]).reshape(-1).astype(int) \
         if len(node.inputs) > 3 and node.inputs[3] >= 0 else np.ones_like(begin)
     o = node.options
+    if o.get("ellipsis_mask", 0) or o.get("new_axis_mask", 0):
+        raise NotImplementedError(
+            "STRIDED_SLICE with ellipsis_mask/new_axis_mask is not supported")
     return begin, end, strides, o.get("begin_mask", 0), o.get("end_mask", 0), \
         o.get("shrink_axis_mask", 0)
 

@@ -33,8 +33,18 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None,
     """
     devs = jax.devices()
     n = n_devices or len(devs)
-    if data is None or model is None:
-        model = model or (2 if n % 2 == 0 and n > 1 else 1)
+    if data is not None and model is not None:
+        pass
+    elif data is not None:
+        if n % data:
+            raise ValueError(f"data={data} does not divide {n} devices")
+        model = n // data
+    elif model is not None:
+        if n % model:
+            raise ValueError(f"model={model} does not divide {n} devices")
+        data = n // model
+    else:
+        model = 2 if n % 2 == 0 and n > 1 else 1
         data = n // model
     grid = np.array(devs[:data * model]).reshape(data, model)
     return Mesh(grid, ("data", "model"))

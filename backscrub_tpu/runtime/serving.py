@@ -57,6 +57,22 @@ class ServingLoop:
     def ready(self) -> bool:
         return len(self._ring) > self.depth
 
+    def drain_ready(self, sink: Callable[[np.ndarray], None]) -> int:
+        """Deliver all results past the pipeline depth; returns count."""
+        n = 0
+        while self.ready():
+            self._drain_one(sink)
+            n += 1
+        return n
+
+    def drain_all(self, sink: Callable[[np.ndarray], None]) -> int:
+        """Deliver every in-flight result (end of stream); returns count."""
+        n = 0
+        while self._ring:
+            self._drain_one(sink)
+            n += 1
+        return n
+
     def run(self, source: Callable[[], Optional[np.ndarray]],
             sink: Callable[[np.ndarray], None],
             background: Optional[Callable[[], Optional[np.ndarray]]] = None,
@@ -70,9 +86,7 @@ class ServingLoop:
                 bg = background() if background else None
                 self.submit(frame, bg, **step_kwargs)
                 n += 1
-                while self.ready():
-                    self._drain_one(sink)
+                self.drain_ready(sink)
         finally:
-            while self._ring:
-                self._drain_one(sink)
+            self.drain_all(sink)
         return n

@@ -80,6 +80,10 @@ class Trainer:
                  mesh: Optional[Mesh] = None, config: TrainConfig = TrainConfig()):
         if optax is None:
             raise RuntimeError("optax unavailable")
+        if any(str(v.dtype) == "int8" for v in model.params.values()):
+            raise ValueError(
+                "model was loaded with int8 quantized weights — quantization "
+                "is inference-only; load with quantize=None for training")
         self.model = model
         self.spec = spec
         self.mesh = mesh

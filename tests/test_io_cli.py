@@ -49,9 +49,13 @@ def test_parse_device_prefix():
     assert cfg["ccam"] == "test:"
 
 
-def test_parse_bgblur_even_becomes_odd():
-    cfg = parse_args(["-p", "bgblur:24"])
-    assert cfg["blur_strength"] == 25
+def test_parse_bgblur_reference_semantics():
+    # odd accepted; even rejected; non-numeric falls back to 25
+    # (app/deepseg.cc:420-430)
+    assert parse_args(["-p", "bgblur:25"])["blur_strength"] == 25
+    with pytest.raises(ValueError):
+        parse_args(["-p", "bgblur:24"])
+    assert parse_args(["-p", "bgblur:x"])["blur_strength"] == 25
     with pytest.raises(ValueError):
         parse_args(["-p", "nonsense:1"])
 

@@ -70,6 +70,33 @@ def test_convert_model_with_shape_plumbing(tmp_path):
     np.testing.assert_allclose(y, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_builtin_transpose_conv_odd_dims(tmp_path):
+    """Builtin TRANSPOSE_CONV derives geometry from its output_shape input;
+    stride-2 on odd spatial dims is the case where the custom-op SAME
+    formula would produce the wrong size."""
+    tf = pytest.importorskip("tensorflow")
+    inp = tf.keras.Input((5, 5, 3))
+    y = tf.keras.layers.Conv2DTranspose(4, 2, strides=2, padding="same")(inp)
+    y = tf.keras.layers.Conv2DTranspose(2, 3, strides=2, padding="same")(y)
+    model = tf.keras.Model(inp, y)
+    blob = tf.lite.TFLiteConverter.from_keras_model(model).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    m = build_model(load_tflite_bytes(blob))
+    x = np.random.default_rng(0).random((1, 5, 5, 3), np.float32)
+    got = np.asarray(m(x))
+    it = tf.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    assert got.shape == ref.shape == (1, 20, 20, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_extended_op_coverage(tmp_path):
     """Space/depth moves, NN-resize, mirror pad, unary math, reducers,
     l2-normalize: converted graphs using the extended op set match TFLite."""
