@@ -123,6 +123,10 @@ class MaskGen:
         self.fused = fused
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+        self._dbg(f"loaded {self.model_path} ({self.spec.kind}, "
+                  f"decode={self.spec.decode})")
+        self._dbg(f"model input {iw}x{ih}, output {ow}x{oh}; frame "
+                  f"{width}x{height}; roi={self.geo.roi} in_roi={self.geo.in_roi}")
 
         def _step(params, frame, ema):
             x = preprocess(frame, self.geo, self.spec,
@@ -143,6 +147,11 @@ class MaskGen:
         self._infer = jax.jit(lambda params, x: self.model.raw_fn(params, x[None])[0])
         self._post = jax.jit(lambda out, ema: self._decode_post(out, ema),
                              donate_argnums=(1,))
+
+    def _dbg(self, msg: str):
+        """Injected debug output (lib/libbackscrub.h:22-23 ondebug seam)."""
+        if self.ondebug:
+            self.ondebug(msg)
 
     def _decode_post(self, out, ema):
         val = decode_val(out.astype(jnp.float32), self.spec)

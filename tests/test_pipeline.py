@@ -155,6 +155,29 @@ def iou(a_person, b_person):
     return 1.0 if union == 0 else inter / union
 
 
+def test_unfused_mode_callbacks_and_parity():
+    """fused=False fires onprep/oninfer/onmask per stage (lib/libbackscrub.h
+    callback seam) and produces the same mask as the fused path."""
+    path = model_path("segm_lite_v681.tflite")
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("screenshot asset unavailable")
+    frame = cv2.resize(frame, (640, 480))
+    calls = []
+    mg_cb = MaskGen(path, 640, 480, fused=False,
+                    onprep=lambda: calls.append("prep"),
+                    oninfer=lambda: calls.append("infer"),
+                    onmask=lambda: calls.append("mask"),
+                    ondebug=lambda m: calls.append("dbg"))
+    mg_fused = MaskGen(path, 640, 480)
+    for _ in range(2):
+        m_cb = mg_cb.process(frame)
+        m_f = mg_fused.process(frame)
+    assert calls.count("prep") == 2 and calls.count("infer") == 2 \
+        and calls.count("mask") == 2 and calls.count("dbg") >= 1
+    np.testing.assert_array_equal(m_cb, m_f)
+
+
 def test_temporal_ema_sequence_matches_golden():
     """EMA evolution across a CHANGING frame sequence (person appears then
     leaves) must track the golden implementation frame by frame."""
