@@ -11,7 +11,6 @@ file/null sinks, --frames, --bf16, --no-bilateral, --correct-colors.
 from __future__ import annotations
 
 import sys
-import time
 from typing import List, Optional
 
 import numpy as np

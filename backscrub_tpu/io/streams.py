@@ -11,8 +11,7 @@ Sinks:                  /dev/video1 | file:out.mp4 | file:out.yuv | null:
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

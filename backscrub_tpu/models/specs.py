@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
-
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:

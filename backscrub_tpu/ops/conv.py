@@ -18,7 +18,6 @@ MXU instead of a 6-deep scalar loop nest.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -12,9 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..tflite.ir import TENSOR_TYPE_TO_NP
 from .registry import register
-from .misc import resize_matrix
 
 
 def _unary(ctx, node, fn):

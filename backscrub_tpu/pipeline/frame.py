@@ -15,15 +15,13 @@ ring provides the same overlap without a thread.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.specs import spec_for_model
 from .decode import decode_val, ema_update
-from .geometry import compute_roi
 from .image import (alpha_blend_u8, flip, gaussian_blur, resize_bilinear,
                     rgb_to_yuyv)
 from .maskgen import MaskGen, postprocess_mask, preprocess

@@ -17,10 +17,8 @@ the MXU as interpolation-matrix contractions).  Reference counterparts:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops.misc import resize_matrix

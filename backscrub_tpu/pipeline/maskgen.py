@@ -13,8 +13,7 @@ background (replace); area outside the aspect-ratio ROI is always 255.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import numpy as np
 import jax
@@ -24,7 +23,7 @@ from ..graph.executor import CompiledModel, load_model
 from ..models.specs import ModelSpec, resolve_model_path, spec_for_model
 from .decode import decode_val, ema_update
 from .geometry import RoiGeometry, compute_roi
-from .image import bilateral5, box_blur, normalize_u8, resize_bilinear
+from .image import bilateral5, box_blur, resize_bilinear
 
 
 def _on_tpu() -> bool:

@@ -17,11 +17,9 @@ help high-latency links (e.g. remote-attached accelerators).
 from __future__ import annotations
 
 import collections
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from ..pipeline.frame import FramePipeline
 

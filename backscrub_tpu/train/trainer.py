@@ -13,7 +13,7 @@ height (XLA SPMD inserts conv halo exchanges automatically).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

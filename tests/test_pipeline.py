@@ -155,6 +155,38 @@ def iou(a_person, b_person):
     return 1.0 if union == 0 else inter / union
 
 
+def test_full_frame_composite_bit_exact():
+    """The composite+YUYV output path must be BIT-EXACT against a numpy
+    transcription of the reference main loop (alpha_blend deepseg.cc:108-134
+    + convert_rgb_to_yuyv deepseg.cc:87-106), given the same mask."""
+    path = model_path("segm_lite_v681.tflite")
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("screenshot asset unavailable")
+    frame = cv2.resize(frame, (640, 480))
+    bg = cv2.resize(cv2.imread("/root/reference/backgrounds/background.png"),
+                    (640, 480))
+
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    pipe = FramePipeline(path, PipelineConfig(width=640, height=480))
+    mg = MaskGen(path, 640, 480)
+    out, _ = pipe.step(frame, bg)
+    mask = mg.process(frame)  # deterministic: same as the pipeline's mask
+
+    # numpy transcription of the reference composite
+    aw = mask.astype(np.int64)[..., None]
+    comp = ((bg.astype(np.int64) * aw + frame.astype(np.int64) * (255 - aw))
+            // 255).astype(np.uint8)
+    yuv = cv2.cvtColor(comp, cv2.COLOR_RGB2YUV)  # BGR fed as RGB, like ref
+    y, u, v = (yuv[..., i].astype(np.int64) for i in range(3))
+    expected = np.zeros((480, 1280), np.uint8)
+    expected[:, 0::4] = y[:, 0::2]
+    expected[:, 1::4] = (v[:, 0::2] + v[:, 1::2]) // 2
+    expected[:, 2::4] = y[:, 1::2]
+    expected[:, 3::4] = (u[:, 0::2] + u[:, 1::2]) // 2
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+
 def test_unfused_mode_callbacks_and_parity():
     """fused=False fires onprep/oninfer/onmask per stage (lib/libbackscrub.h
     callback seam) and produces the same mask as the fused path."""
