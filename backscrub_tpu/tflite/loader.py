@@ -216,6 +216,24 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
                 data = np.frombuffer(raw.tobytes(), dtype=dtype)
                 if shape:
                     data = data.reshape(shape)
+                # Dynamic-range quantized weights (int8/uint8 constants with
+                # per-channel scales): dequantize on load, so the graph runs
+                # as float — TFLite's own float fallback for such models.
+                q = t.Quantization()
+                if (q is not None and q.ScaleLength() > 0
+                        and np.issubdtype(data.dtype, np.integer)):
+                    scales = np.array([q.Scale(i) for i in range(q.ScaleLength())],
+                                      np.float32)
+                    zps = np.array([q.ZeroPoint(i) for i in range(q.ZeroPointLength())],
+                                   np.int64) if q.ZeroPointLength() else np.zeros(1, np.int64)
+                    qdim = q.QuantizedDimension()
+                    bshape = [1] * data.ndim
+                    if scales.size > 1:
+                        bshape[qdim] = scales.size
+                    data = ((data.astype(np.float32)
+                             - zps.reshape(bshape if zps.size > 1 else [1] * data.ndim))
+                            * scales.reshape(bshape)).astype(np.float32)
+                    dtype = np.float32
         tname = t.Name()
         tensors.append(TensorIR(
             index=ti,

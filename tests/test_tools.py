@@ -70,6 +70,39 @@ def test_convert_model_with_shape_plumbing(tmp_path):
     np.testing.assert_allclose(y, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_dynamic_range_quantized_model_loads(tmp_path):
+    """int8-weight (dynamic-range) .tflite files dequantize on load and run
+    as float.  TFLite's own kernels quantize activations on the fly, so
+    a ~1% relative tolerance applies (our float path is the more precise)."""
+    tf = pytest.importorskip("tensorflow")
+    inp = tf.keras.Input((16, 16, 8))
+    x = tf.keras.layers.Conv2D(32, 3, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.Conv2D(16, 3, padding="same")(x)
+    model = tf.keras.Model(inp, x)
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    blob = conv.convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    # weights must have been int8 in the file and f32 after load
+    assert all(t.data.dtype == np.float32 for t in g.tensors
+               if t.is_constant and t.data.ndim == 4)
+    m = build_model(g)
+    x_in = np.random.default_rng(0).random((1, 16, 16, 8), np.float32)
+    got = np.asarray(m(x_in))
+    it = tf.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x_in)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, f"relative error {rel}"
+
+
 def test_builtin_transpose_conv_odd_dims(tmp_path):
     """Builtin TRANSPOSE_CONV derives geometry from its output_shape input;
     stride-2 on odd spatial dims is the case where the custom-op SAME
