@@ -117,77 +117,94 @@ def transfer_diag(pipe, w, h):
     return up_ms, down_ms
 
 
-def run_config_sweep():
-    """BASELINE.json configs: every model family + 1080p/webm/blur."""
+CONFIGS = [
+    ("segm_lite_640x480", "segm_lite_v681.tflite", 640, 480, 0),
+    ("deeplab_640x480", "deeplabv3_257_mv_gpu.tflite", 640, 480, 0),
+    ("mlkit_720p", "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+     1280, 720, 0),
+    ("segm_full_720p", "segm_full_v679.tflite", 1280, 720, 0),
+    ("bodypix_640x480", "body-pix-float-050-8.tflite", 640, 480, 0),
+    ("segm_lite_1080p_bgblur", "segm_lite_v681.tflite", 1920, 1080, 25),
+    ("segm_lite_720p_bf16", "segm_lite_v681.tflite", 1280, 720, 0),
+    ("segm_lite_720p_int8", "segm_lite_v681.tflite", 1280, 720, 0),
+]
+
+
+def run_batch_config():
+    """8-stream batched 720p aggregate, isolated process."""
+    import jax
+    import jax.numpy as jnp
+    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
+    raw = pipe._make_step("explicit", False, False, True)
+    stepb = jax.jit(raw, donate_argnums=(3,))
+    B = 8
+    rng = np.random.default_rng(2)
+    fb = jax.device_put(rng.integers(0, 256, (B, 720, 1280, 3), np.uint8))
+    bgb = jax.device_put(rng.integers(0, 256, (B, 720, 1280, 3), np.uint8))
+    oh, ow = pipe.maskgen.model.output_shape[1:3]
+    emab = jnp.full((B, oh, ow), 255, jnp.uint8)
+    out, _, emab = stepb(pipe.maskgen.model.params, fb, bgb, emab)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(200):
+            out, _, emab = stepb(pipe.maskgen.model.params, fb, bgb, emab)
+        jax.block_until_ready((out, emab))
+        best = max(best, 200 * B / (time.perf_counter() - t0))
+    print(json.dumps({"config": "segm_lite_720p_batch8", "fps": round(best, 1),
+                      "p50_ms": None}))
+
+
+def run_one_config(name):
+    """Measure one named config; prints a JSON line.  Run in a fresh
+    process: the tunnel's dispatch queue degrades after multiple pipelines
+    in one process, underestimating later configs by ~10x."""
+    if name == "segm_lite_720p_batch8":
+        return run_batch_config()
     import cv2
+    import jax as _jax
+    import jax.numpy as _jnp
+    entry = next(c for c in CONFIGS if c[0] == name)
+    _, model, w, h, blur = entry
+    extra = {}
+    if name.endswith("_bf16"):
+        extra = dict(dtype=_jnp.bfloat16, precision=_jax.lax.Precision.DEFAULT)
+    elif name.endswith("_int8"):
+        extra = dict(quantize="int8")
+    pipe = build_pipe(model, w, h, blur=blur, **extra)
+    bg_frames = None
+    if "1080p" in name:
+        cap = cv2.VideoCapture("/root/reference/backgrounds/retrowave.webm")
+        bgs = []
+        for _ in range(4):
+            ok, f = cap.read()
+            if not ok:
+                break
+            bgs.append(cv2.resize(f, (w, h)))
+        cap.release()
+        bg_frames = bgs or None
+    fps, p50 = measure(pipe, w, h, iters=300, bg_frames=bg_frames)
+    print(json.dumps({"config": name, "fps": round(fps, 1),
+                      "p50_ms": round(p50, 3)}))
+
+
+def run_config_sweep():
+    """BASELINE.json configs, one subprocess per config (fresh dispatch
+    queue each; the persistent XLA cache keeps re-compiles cheap)."""
+    import subprocess
     results = {}
 
-    # batched multi-stream aggregate throughput (8 streams, one chip)
-    try:
-        import jax
-        import jax.numpy as jnp
-        pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
-        raw = pipe._make_step("explicit", False, False, True)
-        stepb = jax.jit(raw, donate_argnums=(3,))
-        B = 8
-        rng = np.random.default_rng(2)
-        fb = jax.device_put(rng.integers(0, 256, (B, 720, 1280, 3), np.uint8))
-        bgb = jax.device_put(rng.integers(0, 256, (B, 720, 1280, 3), np.uint8))
-        oh, ow = pipe.maskgen.model.output_shape[1:3]
-        emab = jnp.full((B, oh, ow), 255, jnp.uint8)
-        out, _, emab = stepb(pipe.maskgen.model.params, fb, bgb, emab)
-        jax.block_until_ready(out)
-        best = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(100):
-                out, _, emab = stepb(pipe.maskgen.model.params, fb, bgb, emab)
-            jax.block_until_ready((out, emab))
-            best = max(best, 100 * B / (time.perf_counter() - t0))
-        results["segm_lite_720p_batch8"] = {"fps": round(best, 1)}
-        print(f"  {'segm_lite_720p_batch8':28s} {best:10.1f} frames/s aggregate",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"  batch bench ERROR {e}", file=sys.stderr)
-
-    configs = [
-        ("segm_lite_640x480", "segm_lite_v681.tflite", 640, 480, 0),
-        ("deeplab_640x480", "deeplabv3_257_mv_gpu.tflite", 640, 480, 0),
-        ("mlkit_720p", "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
-         1280, 720, 0),
-        ("segm_full_720p", "segm_full_v679.tflite", 1280, 720, 0),
-        ("bodypix_640x480", "body-pix-float-050-8.tflite", 640, 480, 0),
-        ("segm_lite_1080p_bgblur", "segm_lite_v681.tflite", 1920, 1080, 25),
-        ("segm_lite_720p_bf16", "segm_lite_v681.tflite", 1280, 720, 0),
-        ("segm_lite_720p_int8", "segm_lite_v681.tflite", 1280, 720, 0),
-    ]
-    for name, model, w, h, blur in configs:
+    for name in ["segm_lite_720p_batch8"] + [c[0] for c in CONFIGS]:
         try:
-            import jax as _jax
-            import jax.numpy as _jnp
-            extra = {}
-            if name.endswith("_bf16"):
-                extra = dict(dtype=_jnp.bfloat16,
-                             precision=_jax.lax.Precision.DEFAULT)
-            elif name.endswith("_int8"):
-                extra = dict(quantize="int8")
-            pipe = build_pipe(model, w, h, blur=blur, **extra)
-            bg_frames = None
-            if "1080p" in name:
-                # animated webm background decoded host-side, cycled on device
-                cap = cv2.VideoCapture("/root/reference/backgrounds/retrowave.webm")
-                bgs = []
-                for _ in range(4):
-                    ok, f = cap.read()
-                    if not ok:
-                        break
-                    bgs.append(cv2.resize(f, (w, h)))
-                cap.release()
-                bg_frames = bgs or None
-            fps, p50 = measure(pipe, w, h, iters=200, bg_frames=bg_frames)
-            results[name] = {"fps": round(fps, 1), "p50_ms": round(p50, 3)}
-            print(f"  {name:28s} {fps:10.1f} fps   p50 {p50:6.3f} ms",
-                  file=sys.stderr)
+            r = subprocess.run([sys.executable, __file__, "--config", name],
+                               capture_output=True, text=True, timeout=900)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            rec = json.loads(line)
+            results[name] = {"fps": rec["fps"], "p50_ms": rec["p50_ms"]}
+            p50s = (f"p50 {rec['p50_ms']:6.3f} ms" if rec["p50_ms"] is not None
+                    else "(aggregate)")
+            print(f"  {name:28s} {rec['fps']:10.1f} fps   {p50s}", file=sys.stderr)
         except Exception as e:  # keep the sweep robust
             results[name] = {"error": str(e)[:200]}
             print(f"  {name:28s} ERROR {e}", file=sys.stderr)
@@ -197,6 +214,9 @@ def run_config_sweep():
 
 
 def main():
+    if "--config" in sys.argv:
+        run_one_config(sys.argv[sys.argv.index("--config") + 1])
+        return
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
