@@ -155,6 +155,31 @@ def iou(a_person, b_person):
     return 1.0 if union == 0 else inter / union
 
 
+def test_mask_iou_image_variants():
+    """Parity must hold across content variations, not just one frame:
+    brightness shifts, a zoomed crop, and a horizontally flipped scene."""
+    path = model_path("segm_lite_v681.tflite")
+    base = cv2.imread(SCREENSHOT)
+    if base is None:
+        pytest.skip("screenshot asset unavailable")
+    base = cv2.resize(base, (640, 480))
+    variants = [
+        np.clip(base.astype(np.int16) + 40, 0, 255).astype(np.uint8),   # brighter
+        np.clip(base.astype(np.int16) - 40, 0, 255).astype(np.uint8),   # darker
+        cv2.resize(base[60:420, 80:560], (640, 480)),                   # zoom crop
+        base[:, ::-1].copy(),                                           # mirrored
+    ]
+    spec = spec_for_model(path)
+    for i, frame in enumerate(variants):
+        frames = [frame] * 4
+        golden = reference_maskgen(path, frames, 640, 480, spec)
+        mg = MaskGen(path, 640, 480)
+        for f in frames:
+            ours = mg.process(f)
+        score = iou(ours < 128, golden < 128)
+        assert score >= 0.99, f"variant {i}: IoU {score:.4f}"
+
+
 def test_full_frame_composite_bit_exact():
     """The composite+YUYV output path must be BIT-EXACT against a numpy
     transcription of the reference main loop (alpha_blend deepseg.cc:108-134

@@ -40,6 +40,17 @@ def test_f16_weights_kept_half():
     assert len(halves) >= 100  # 110 dequantized weight tensors
 
 
+def test_loader_rejects_garbage():
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    with pytest.raises(Exception):
+        load_tflite_bytes(b"not a flatbuffer at all")
+    # truncated real model
+    with open(model_path("segm_lite_v681.tflite"), "rb") as f:
+        blob = f.read()
+    with pytest.raises(Exception):
+        load_tflite_bytes(blob[: len(blob) // 3])
+
+
 def test_custom_op_options_parsed():
     g = load_tflite(model_path("segm_lite_v681.tflite"))
     tcb = [n for n in g.nodes if n.kind == "Convolution2DTransposeBias"]
