@@ -188,11 +188,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         source.close()
         return 1
+    # native YUYV cameras upload raw bytes; the device decodes (1.5x less
+    # host->device traffic and no host cvtColor on the critical path)
+    raw_ingest = getattr(source, "raw_format", None) == "yuyv"
     pcfg = PipelineConfig(
         width=cw, height=ch, out_width=vw, out_height=vh,
         blur_strength=cfg["blur_strength"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
+        input_format="yuyv" if raw_ingest else "bgr",
     )
     pipe = FramePipeline(
         model_path, pcfg,
@@ -229,7 +233,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         while state.running and (cfg["frames"] == 0 or n < cfg["frames"]):
             timer.start()
-            frame = source.read()
+            frame = source.read_raw() if raw_ingest else source.read()
             if frame is None:
                 break
             timer.mark("grab")

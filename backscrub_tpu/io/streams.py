@@ -50,11 +50,23 @@ class CameraSource(FrameSource):
             self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self._native = False
 
+    @property
+    def raw_format(self):
+        """'yuyv' when the driver delivers YUYV and raw device-side ingest
+        is possible; None otherwise."""
+        return "yuyv" if self._native and self.cap.pixelformat == "YUYV" else None
+
     def read(self):
         if self._native:
             return self.cap.grab_bgr()
         ok, frame = self.cap.read()
         return frame if ok else None
+
+    def read_raw(self):
+        """Raw YUYV bytes as (H, 2W) u8 (only when raw_format == 'yuyv');
+        uploaded verbatim, decoded on device (PipelineConfig.input_format)."""
+        raw = self.cap.grab_raw()
+        return raw.reshape(self.height, self.width * 2)
 
     def close(self):
         self.cap.release() if not self._native else self.cap.close()
@@ -113,16 +125,16 @@ class SyntheticSource(FrameSource):
     def __init__(self, width: int = 640, height: int = 480):
         self.width, self.height = width, height
         self._i = 0
+        yy, xx = np.mgrid[0:height, 0:width]
+        self._base = np.stack([xx % 256, yy % 256, (xx + yy) % 256],
+                              axis=-1).astype(np.uint8)
 
     def read(self):
-        h, w = self.height, self.width
-        yy, xx = np.mgrid[0:h, 0:w]
         t = self._i
         self._i += 1
-        frame = np.stack([
-            ((xx + 2 * t) % 256), ((yy + t) % 256), ((xx + yy + 3 * t) % 256)
-        ], axis=-1).astype(np.uint8)
-        return frame
+        # u8 wraparound gives the same moving pattern without regenerating grids
+        shift = np.array([2 * t, t, 3 * t], np.uint8)
+        return self._base + shift
 
 
 def open_source(uri: str, width: int, height: int, pixfmt: str = "") -> FrameSource:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .decode import decode_val, ema_update
 from .image import (alpha_blend_u8, flip, gaussian_blur, resize_bilinear,
-                    rgb_to_yuyv)
+                    rgb_to_yuyv, yuyv_to_rgb_u8)
 from .maskgen import MaskGen, postprocess_mask, preprocess
 
 
@@ -40,6 +40,10 @@ class PipelineConfig:
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink)
+    input_format: str = "bgr"        # "bgr" | "yuyv": raw-camera device ingest
+                                     # (YUYV->RGB decode on device, 1.5x less
+                                     # host->device traffic; BASELINE "frame
+                                     # preprocessing ... YUYV->RGB convert")
 
 
 class FramePipeline:
@@ -116,6 +120,11 @@ class FramePipeline:
             return yuyv, mask, new_ema
 
         def compose(params, frame, bg, ema):
+            if cfg.input_format == "yuyv":
+                # raw camera bytes (H, 2W) u8 -> BGR on device (the host
+                # uploads the kernel buffer verbatim; decode rides the VPU)
+                yuyv = frame.reshape(frame.shape[:-1] + (frame.shape[-1] // 2, 2))
+                frame = yuyv_to_rgb_u8(yuyv)[..., ::-1]  # RGB -> BGR order
             if not active:
                 # filter off ('s' key): passthrough convert only
                 # (app/deepseg.cc:662-664); EMA state is left untouched

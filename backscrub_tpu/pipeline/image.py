@@ -216,12 +216,20 @@ def rgb_to_yuyv(rgb_u8, chroma_order: str = "reference"):
     return quad.reshape(quad.shape[:-2] + (w, 2)).astype(jnp.uint8)
 
 
-def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2"):
+# OpenCV ITUR_BT_601 video-range constants (color_yuv: YUV2RGB_YUY2 path),
+# verified bit-exact against cv2 in tests.
+_BT601_CY, _BT601_CUB, _BT601_CUG = 1220542, 2116026, -409993
+_BT601_CVG, _BT601_CVR, _BT601_SHIFT = -852492, 1673527, 20
+
+
+def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2",
+                   convention: str = "bt601"):
     """Packed 4:2:2 -> RGB u8 (capture-side decode).
 
-    Exact inverse of the 0.492/0.877 analog-YUV forward used by
-    cv::COLOR_RGB2YUV: R = Y + V'/0.877, B = Y + U'/0.492,
-    G = (Y - 0.299 R - 0.114 B) / 0.587 (U' = U-128, V' = V-128).
+    convention="bt601" (default): ITU-R BT.601 video range, bit-exact with
+    cv::COLOR_YUV2RGB_YUY2 — what real V4L2 cameras emit.
+    convention="analog": exact inverse of the 0.492/0.877 analog-YUV forward
+    used by cv::COLOR_RGB2YUV (the rgb_to_yuyv output path), for roundtrips.
     """
     q = yuyv_u8.astype(jnp.int32)
     h, w2 = q.shape[-3], q.shape[-2]
@@ -236,11 +244,18 @@ def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2"):
     v = jnp.repeat(v, 2, axis=-1)
     ud = u - 128
     vd = v - 128
-    # 1/0.877*16384=18682, 1/0.492*16384=33301,
-    # 0.299/(0.877*0.587)*16384=9516, 0.114/(0.492*0.587)*16384=6467
-    r = y + _descale(vd * 18682)
-    g = y + _descale(ud * -6467 + vd * -9516)
-    b = y + _descale(ud * 33301)
+    if convention == "bt601":
+        yy = jnp.maximum(y - 16, 0) * _BT601_CY
+        half = 1 << (_BT601_SHIFT - 1)
+        r = (yy + _BT601_CVR * vd + half) >> _BT601_SHIFT
+        g = (yy + _BT601_CUG * ud + _BT601_CVG * vd + half) >> _BT601_SHIFT
+        b = (yy + _BT601_CUB * ud + half) >> _BT601_SHIFT
+    else:
+        # 1/0.877*16384=18682, 1/0.492*16384=33301,
+        # 0.299/(0.877*0.587)*16384=9516, 0.114/(0.492*0.587)*16384=6467
+        r = y + _descale(vd * 18682)
+        g = y + _descale(ud * -6467 + vd * -9516)
+        b = y + _descale(ud * 33301)
     rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
 

@@ -94,9 +94,17 @@ def test_yuyv_roundtrip():
     x = np.stack([64 + yy * 128 // 31, 64 + xx * 128 // 63,
                   64 + (yy + xx) * 128 // 94], axis=-1).astype(np.uint8)
     packed = im.rgb_to_yuyv(jnp.asarray(x), chroma_order="yuy2")
-    back = np.asarray(im.yuyv_to_rgb_u8(packed, chroma_order="yuy2"))
+    back = np.asarray(im.yuyv_to_rgb_u8(packed, chroma_order="yuy2", convention="analog"))
     assert np.abs(back.astype(int) - x.astype(int)).max() <= 8
     assert np.abs(back.astype(int) - x.astype(int)).mean() < 2.5
+
+
+def test_yuyv_decode_bt601_bit_exact(rng):
+    """Camera-side YUYV decode matches cv2.COLOR_YUV2RGB_YUY2 bit-exactly."""
+    yuyv = rng.integers(0, 256, (32, 64, 2), np.uint8)
+    ref = cv2.cvtColor(yuyv, cv2.COLOR_YUV2RGB_YUY2)
+    ours = np.asarray(im.yuyv_to_rgb_u8(jnp.asarray(yuyv)))
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_flip_matches_cv2(img):

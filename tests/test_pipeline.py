@@ -180,6 +180,31 @@ def test_mask_iou_image_variants():
         assert score >= 0.99, f"variant {i}: IoU {score:.4f}"
 
 
+def test_device_yuyv_ingest_matches_host_decode():
+    """input_format='yuyv' (raw camera bytes decoded on device, BT.601
+    bit-exact with cv2) must produce identical output to the host-decode
+    path feeding BGR."""
+    path = model_path("segm_lite_v681.tflite")
+    frame_bgr = cv2.imread(SCREENSHOT)
+    if frame_bgr is None:
+        pytest.skip("screenshot asset unavailable")
+    frame_bgr = cv2.resize(frame_bgr, (640, 480))
+    yuyv = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2YUV_YUY2).reshape(480, 1280)
+    host_decoded = cv2.cvtColor(yuyv.reshape(480, 640, 2), cv2.COLOR_YUV2BGR_YUY2)
+    bg = np.zeros((480, 640, 3), np.uint8)
+
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    p_host = FramePipeline(path, PipelineConfig(width=640, height=480,
+                                                use_bilateral=False))
+    p_dev = FramePipeline(path, PipelineConfig(width=640, height=480,
+                                               use_bilateral=False,
+                                               input_format="yuyv"))
+    for _ in range(3):
+        out_h, _ = p_host.step(host_decoded, bg)
+        out_d, _ = p_dev.step(yuyv, bg)
+    np.testing.assert_array_equal(np.asarray(out_h), np.asarray(out_d))
+
+
 def test_full_frame_composite_bit_exact():
     """The composite+YUYV output path must be BIT-EXACT against a numpy
     transcription of the reference main loop (alpha_blend deepseg.cc:108-134
