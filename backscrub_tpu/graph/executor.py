@@ -24,7 +24,8 @@ from ..tflite.ir import GraphIR
 from ..ops.registry import get_lowering
 # Import for lowering registration side effects.
 from ..ops import (conv as _conv, elementwise as _ew, pool as _pool,  # noqa: F401
-                   misc as _misc, shape_ops as _shape, extended as _ext)
+                   misc as _misc, shape_ops as _shape, extended as _ext,
+                   control_flow as _cf)
 
 
 class LoweringCtx:
@@ -39,7 +40,9 @@ class LoweringCtx:
 
     def __init__(self, graph: GraphIR, params: Dict[str, jnp.ndarray],
                  prepared: Dict[str, np.ndarray], compute_dtype, precision,
-                 acc_dtype, weight_meta: Optional[Dict[str, Any]] = None):
+                 acc_dtype, weight_meta: Optional[Dict[str, Any]] = None,
+                 all_graphs: Optional[List[GraphIR]] = None,
+                 sub_index: int = 0):
         self.graph = graph
         self.params = params          # traced param leaves (inside jit)
         self.prepared = prepared      # build-time numpy store (first trace only)
@@ -47,16 +50,42 @@ class LoweringCtx:
         self.compute_dtype = compute_dtype
         self.acc_dtype = acc_dtype
         self.precision = precision
-        # key -> dict(tensor_index, inverse, dtype): how to map a (possibly
-        # fine-tuned) param back into the original .tflite weight layout
+        # key -> dict(tensor_index, subgraph, inverse, dtype): how to map a
+        # (possibly fine-tuned) param back into the .tflite weight layout
         self.weight_meta = weight_meta if weight_meta is not None else {}
         # trace-time known values for shape-plumbing ops (SHAPE ->
         # STRIDED_SLICE -> PACK -> RESHAPE chains emitted by the converter);
         # shapes are static under XLA, so these fold at trace time
         self.static_vals: Dict[int, np.ndarray] = {}
+        # control flow: WHILE/IF reference other subgraphs by index
+        self.all_graphs = all_graphs if all_graphs is not None else graph.subgraphs
+        self.sub_index = sub_index
 
     def key(self, idx: int) -> str:
-        return f"t{idx}"
+        # subgraph tensors live in a separate key namespace
+        return f"t{idx}" if self.sub_index == 0 else f"s{self.sub_index}t{idx}"
+
+    def subgraph_fn(self, sub_idx: int):
+        """A traceable fn(tuple_of_values) -> tuple_of_outputs executing the
+        given subgraph, sharing this trace's params/prepared/weight_meta."""
+        if self.all_graphs is None:
+            raise ValueError("model has no subgraphs (WHILE/IF need them)")
+        sub = self.all_graphs[sub_idx]
+
+        def run(vals):
+            ctx = LoweringCtx(sub, self.params, self.prepared,
+                              self.compute_dtype, self.precision,
+                              self.acc_dtype, self.weight_meta,
+                              all_graphs=self.all_graphs, sub_index=sub_idx)
+            vals = vals if isinstance(vals, (tuple, list)) else (vals,)
+            for idx, v in zip(sub.inputs, vals):
+                ctx.env[idx] = v  # dtypes flow through unchanged (loop counters!)
+            for node in sub.nodes:
+                get_lowering(node.kind)(ctx, node)
+            outs = tuple(ctx.get(i) for i in sub.outputs)
+            return outs
+
+        return run
 
     def get(self, idx: int):
         if idx in self.env:
@@ -79,7 +108,7 @@ class LoweringCtx:
             # storage dtype is the payload dtype (f16 for dequant-folded
             # weights), not the IR tensor's logical dtype
             self.weight_meta[key] = dict(tensor_index=idx, inverse=inverse,
-                                         dtype=arr.dtype)
+                                         dtype=arr.dtype, subgraph=self.sub_index)
             if prepare is not None:
                 arr = prepare(arr)
             # Keep f16 storage; cast at use site (exact widening on load).
@@ -174,9 +203,9 @@ def fold_constants(graph: GraphIR) -> GraphIR:
 
 
 def _trace(graph: GraphIR, params, prepared, x, compute_dtype, precision,
-           acc_dtype, weight_meta=None):
+           acc_dtype, weight_meta=None, all_graphs=None):
     ctx = LoweringCtx(graph, params, prepared, compute_dtype, precision,
-                      acc_dtype, weight_meta)
+                      acc_dtype, weight_meta, all_graphs=all_graphs)
     xs = x if isinstance(x, (tuple, list)) else (x,)
     if len(graph.inputs) != len(xs):
         raise ValueError(f"graph has {len(graph.inputs)} inputs, got {len(xs)}")
@@ -201,7 +230,14 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     dense kernels as symmetric per-channel int8 (quant/ptq.py), dequantized
     on the fly — ~4x less weight traffic.
     """
-    graph = fold_constants(graph)
+    all_graphs = None
+    if graph.subgraphs is not None:
+        # fold every subgraph; index 0 stays the main graph
+        all_graphs = [fold_constants(g) for g in graph.subgraphs]
+        graph = all_graphs[0]
+        graph.subgraphs = all_graphs
+    else:
+        graph = fold_constants(graph)
     prepared: Dict[str, np.ndarray] = {}
 
     # Populate `prepared` with one eager numpy trace (abstract eval): run the
@@ -220,7 +256,8 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     weight_meta: Dict[str, Any] = {}
     jax.eval_shape(partial(_trace, graph, {}, prepared,
                            compute_dtype=compute_dtype, precision=precision,
-                           acc_dtype=acc_dtype, weight_meta=weight_meta), x_spec)
+                           acc_dtype=acc_dtype, weight_meta=weight_meta,
+                           all_graphs=all_graphs), x_spec)
 
     if quantize == "int8":
         from ..quant.ptq import boundary_keys, quantize_params
@@ -236,14 +273,17 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
     # consumed at trace time (axes/shapes/paddings via const_value) are NOT
     # in weight_meta and keep their data.
     for meta in weight_meta.values():
+        g = (all_graphs[meta.get("subgraph", 0)] if all_graphs is not None
+             else graph)
         idx = meta["tensor_index"]
-        graph.tensor(idx).data = None
-        alias = graph.aliases.get(idx)
+        g.tensor(idx).data = None
+        alias = g.aliases.get(idx)
         if alias is not None:
-            graph.tensor(alias).data = None
+            g.tensor(alias).data = None
 
     def raw_fn(p, x):
-        return _trace(graph, p, dict(prepared), x, compute_dtype, precision, acc_dtype)
+        return _trace(graph, p, dict(prepared), x, compute_dtype, precision,
+                      acc_dtype, all_graphs=all_graphs)
 
     fn = jax.jit(raw_fn) if jit else raw_fn
     out_t = graph.tensor(graph.outputs[0])

@@ -76,6 +76,8 @@ class GraphIR:
     # constant-fold aliases: folded tensor index -> tensor index owning the
     # actual flatbuffer storage (e.g. DEQUANTIZE output -> f16 input)
     aliases: Dict[int, int] = dataclasses.field(default_factory=dict)
+    # main graph only: all model subgraphs (index 0 = self), for WHILE/IF
+    subgraphs: Optional[List["GraphIR"]] = None
 
     def tensor(self, idx: int) -> TensorIR:
         return self.tensors[idx]

@@ -149,6 +149,16 @@ def _parse_builtin_options(sg, op, op_name: str) -> Dict[str, Any]:
         t = _init_options(sg, "UnpackOptions", op)
         if t:
             o = dict(axis=t.Axis(), num=t.Num())
+    elif op_name == "WHILE":
+        t = _init_options(sg, "WhileOptions", op)
+        if t:
+            o = dict(cond_subgraph=t.CondSubgraphIndex(),
+                     body_subgraph=t.BodySubgraphIndex())
+    elif op_name == "IF":
+        t = _init_options(sg, "IfOptions", op)
+        if t:
+            o = dict(then_subgraph=t.ThenSubgraphIndex(),
+                     else_subgraph=t.ElseSubgraphIndex())
     elif op_name == "TRANSPOSE_CONV":
         t = _init_options(sg, "TransposeConvOptions", op)
         if t:
@@ -177,7 +187,10 @@ def _parse_custom_options(custom_code: str, data: Optional[bytes]) -> Dict[str, 
 
 
 def load_tflite(path: str, subgraph: int = 0) -> GraphIR:
-    """Load a ``.tflite`` file into a :class:`GraphIR`."""
+    """Load a ``.tflite`` file into a :class:`GraphIR`.
+
+    The main graph carries all other subgraphs in ``.subgraphs`` (WHILE/IF
+    bodies reference them by index)."""
     with open(path, "rb") as f:
         buf = f.read()
     return load_tflite_bytes(buf, name=path, subgraph=subgraph)
@@ -263,7 +276,7 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
                                 options=options))
 
     gname = g.Name()
-    return GraphIR(
+    gir = GraphIR(
         name=gname.decode() if gname is not None else name,
         tensors=tensors,
         nodes=nodes,
@@ -271,3 +284,10 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
         outputs=[int(g.Outputs(i)) for i in range(g.OutputsLength())],
         description=(model.Description() or b"").decode(errors="replace"),
     )
+    if subgraph == 0 and model.SubgraphsLength() > 1:
+        # control-flow bodies (WHILE/IF reference subgraphs by index)
+        gir.subgraphs = [gir] + [
+            load_tflite_bytes(buf, name=f"{name}#{i}", subgraph=i)
+            for i in range(1, model.SubgraphsLength())
+        ]
+    return gir

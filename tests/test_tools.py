@@ -70,6 +70,42 @@ def test_convert_model_with_shape_plumbing(tmp_path):
     np.testing.assert_allclose(y, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_control_flow_while_if(tmp_path):
+    """WHILE/IF ops lower to lax.while_loop/lax.cond with their referenced
+    subgraphs traced inline; output matches TFLite exactly."""
+    tf = pytest.importorskip("tensorflow")
+
+    class M(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec((1, 8), tf.float32)])
+        def __call__(self, x):
+            i = tf.constant(0)
+            _, y = tf.while_loop(lambda i, v: i < 3,
+                                 lambda i, v: (i + 1, v * 1.5 + 0.1), [i, x])
+            return tf.cond(tf.reduce_sum(y) > 10.0,
+                           lambda: y * 2.0, lambda: y - 1.0)
+
+    m = M()
+    blob = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    assert g.subgraphs is not None and len(g.subgraphs) >= 4
+    assert {"WHILE", "IF"} <= set(g.op_histogram())
+    cm = build_model(g)
+    x = np.random.default_rng(0).random((1, 8), np.float32)
+    got = np.asarray(cm(x))
+    it = tf.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
 def test_dynamic_range_quantized_model_loads(tmp_path):
     """int8-weight (dynamic-range) .tflite files dequantize on load and run
     as float.  TFLite's own kernels quantize activations on the fly, so
