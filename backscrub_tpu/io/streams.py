@@ -66,7 +66,10 @@ class CameraSource(FrameSource):
         """Raw YUYV bytes as (H, 2W) u8 (only when raw_format == 'yuyv');
         uploaded verbatim, decoded on device (PipelineConfig.input_format)."""
         raw = self.cap.grab_raw()
-        return raw.reshape(self.height, self.width * 2)
+        # copy: grab_raw returns a view into the capture's reused buffer,
+        # and the serving loop uploads asynchronously — the next grab must
+        # not overwrite bytes still in flight
+        return raw.reshape(self.height, self.width * 2).copy()
 
     def close(self):
         self.cap.release() if not self._native else self.cap.close()
@@ -133,7 +136,7 @@ class SyntheticSource(FrameSource):
         t = self._i
         self._i += 1
         # u8 wraparound gives the same moving pattern without regenerating grids
-        shift = np.array([2 * t, t, 3 * t], np.uint8)
+        shift = np.array([(2 * t) % 256, t % 256, (3 * t) % 256], np.uint8)
         return self._base + shift
 
 

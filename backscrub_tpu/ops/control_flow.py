@@ -13,12 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .elementwise import _binary
 from .registry import register
-
-
-def _binary(ctx, node, fn):
-    ctx.set(node.outputs[0], fn(ctx.get(node.inputs[0]), ctx.get(node.inputs[1])))
-
 
 for name, fn in {
     "GREATER": jnp.greater, "GREATER_EQUAL": jnp.greater_equal,

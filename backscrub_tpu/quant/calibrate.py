@@ -77,7 +77,10 @@ def calibrate(graph: GraphIR, params: Dict[str, jnp.ndarray],
                             ranges=ranges)
         xs = x if isinstance(x, (tuple, list)) else (x,)
         for idx, xv in zip(graph.inputs, xs):
-            ctx.set(idx, jnp.asarray(xv, compute_dtype))
+            xv = jnp.asarray(xv)
+            if jnp.issubdtype(xv.dtype, jnp.floating):
+                xv = xv.astype(compute_dtype)  # match _trace's dtype policy
+            ctx.set(idx, xv)
         for node in graph.nodes:
             get_lowering(node.kind)(ctx, node)
     return ranges

@@ -45,13 +45,15 @@ def export_params_to_tflite(original_path: str, model: CompiledModel,
     with open(original_path, "rb") as f:
         buf = bytearray(f.read())
     m = sg.Model.GetRootAsModel(buf, 0)
-    g = m.Subgraphs(0)
 
+    graphs = model.graph.subgraphs or [model.graph]
     n = 0
-    aliases = model.graph.aliases
     for key, meta in model.weight_meta.items():
         if key not in params:
             continue
+        sub = meta.get("subgraph", 0)
+        g = m.Subgraphs(sub)
+        aliases = graphs[sub].aliases
         idx = meta["tensor_index"]
         idx = aliases.get(idx, idx)  # folded dequant output -> f16 storage
         t = g.Tensors(idx)

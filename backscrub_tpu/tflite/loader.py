@@ -197,6 +197,8 @@ def load_tflite(path: str, subgraph: int = 0) -> GraphIR:
 
 
 def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> GraphIR:
+    """Parse one parse of the flatbuffer; when loading the main graph of a
+    multi-subgraph model, all subgraphs are built from the same parse."""
     sg = _schema()
     model = sg.Model.GetRootAsModel(bytearray(buf), 0)
     op_names = _builtin_op_names()
@@ -213,6 +215,17 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
             "custom": custom.decode() if custom is not None else None,
         })
 
+    gir = _load_subgraph(sg, model, codes, subgraph, name)
+    if subgraph == 0 and model.SubgraphsLength() > 1:
+        # control-flow bodies (WHILE/IF reference subgraphs by index)
+        gir.subgraphs = [gir] + [
+            _load_subgraph(sg, model, codes, i, f"{name}#{i}")
+            for i in range(1, model.SubgraphsLength())
+        ]
+    return gir
+
+
+def _load_subgraph(sg, model, codes, subgraph: int, name: str) -> GraphIR:
     g = model.Subgraphs(subgraph)
 
     tensors: List[TensorIR] = []
@@ -276,7 +289,7 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
                                 options=options))
 
     gname = g.Name()
-    gir = GraphIR(
+    return GraphIR(
         name=gname.decode() if gname is not None else name,
         tensors=tensors,
         nodes=nodes,
@@ -284,10 +297,3 @@ def load_tflite_bytes(buf: bytes, name: str = "<bytes>", subgraph: int = 0) -> G
         outputs=[int(g.Outputs(i)) for i in range(g.OutputsLength())],
         description=(model.Description() or b"").decode(errors="replace"),
     )
-    if subgraph == 0 and model.SubgraphsLength() > 1:
-        # control-flow bodies (WHILE/IF reference subgraphs by index)
-        gir.subgraphs = [gir] + [
-            load_tflite_bytes(buf, name=f"{name}#{i}", subgraph=i)
-            for i in range(1, model.SubgraphsLength())
-        ]
-    return gir
