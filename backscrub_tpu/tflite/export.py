@@ -61,6 +61,10 @@ def export_params_to_tflite(original_path: str, model: CompiledModel,
         if bidx <= 0 or m.Buffers(bidx).DataLength() == 0:
             continue  # folded tensor without its own storage (e.g. dequant output)
         arr = np.asarray(params[key])
+        if arr.dtype == np.int8 and key + "__scale" in params:
+            # runtime-quantized kernel: dequantize back to the file's dtype
+            arr = arr.astype(np.float32) * np.asarray(params[key + "__scale"],
+                                                      np.float32)
         inv = meta.get("inverse")
         if inv is not None:
             arr = inv(arr)

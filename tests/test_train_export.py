@@ -48,6 +48,52 @@ def test_finetune_then_export_changes_tflite(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(m2(x[:1])), y_tuned, atol=1e-3, rtol=1e-3)
 
 
+def test_export_from_quantized_model_dequantizes(tmp_path, rng):
+    """Exporting a quantize='int8' model writes dequantized weights (not raw
+    int8 codes cast to float); the result stays close to the original."""
+    src = model_path("segm_lite_v681.tflite")
+    m = load_model(src, quantize="int8")
+    out = str(tmp_path / "deq.tflite")
+    n = export_params_to_tflite(src, m, {k: np.asarray(v) for k, v in m.params.items()}, out)
+    assert n > 50
+    x = rng.random(m.input_shape, np.float32)
+    y_src = tflite_invoke(src, x)
+    y_out = tflite_invoke(out, x)
+    # int8 weight round trip: small quantization error, same decisions
+    assert np.abs(y_out - y_src).max() < 2.0
+    agree = ((y_src[..., 1] > y_src[..., 0]) == (y_out[..., 1] > y_out[..., 0])).mean()
+    assert agree > 0.99
+
+
+def test_export_multisubgraph_roundtrip(tmp_path, rng):
+    """Multi-subgraph (WHILE/IF) models export with weights routed to the
+    correct subgraph buffers."""
+    tf = pytest.importorskip("tensorflow")
+
+    class M(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec((1, 8), tf.float32)])
+        def __call__(self, x):
+            i = tf.constant(0)
+            w = tf.constant(np.linspace(0.5, 1.5, 8, dtype=np.float32))
+            _, y = tf.while_loop(lambda i, v: i < 2,
+                                 lambda i, v: (i + 1, v * w), [i, x])
+            return y
+
+    m = M()
+    blob = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m).convert()
+    src = str(tmp_path / "ctrl.tflite")
+    open(src, "wb").write(blob)
+    from backscrub_tpu.tflite.loader import load_tflite
+    from backscrub_tpu.graph.executor import build_model
+    cm = build_model(load_tflite(src))
+    out = str(tmp_path / "ctrl2.tflite")
+    export_params_to_tflite(src, cm, {k: np.asarray(v) for k, v in cm.params.items()}, out)
+    x = rng.random((1, 8), np.float32)
+    np.testing.assert_allclose(tflite_invoke(out, x), tflite_invoke(src, x),
+                               atol=1e-7, rtol=1e-7)
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     src = model_path("segm_lite_v681.tflite")
     m = load_model(src)
