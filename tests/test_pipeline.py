@@ -93,6 +93,28 @@ def test_roi_model_wider_than_frame():
     assert (g.in_roi.x, g.in_roi.w) == ((160 - w) // 2, w)
 
 
+def test_roi_portrait_orientation():
+    # taller-than-wide frame (phone cam): letterbox into the model center
+    g = compute_roi(480, 640, 256, 256, 256, 256)
+    assert (g.roi.x, g.roi.y, g.roi.w, g.roi.h) == (0, 0, 480, 640)
+    assert g.in_roi.w == int(256 / (640 / 480)) and g.in_roi.x == (256 - g.in_roi.w) // 2
+
+
+def test_portrait_pipeline_iou():
+    """Full parity on a portrait frame, golden included."""
+    path = model_path("segm_lite_v681.tflite")
+    base = cv2.imread(SCREENSHOT)
+    if base is None:
+        pytest.skip("screenshot asset unavailable")
+    frame = cv2.resize(base, (480, 640))
+    spec = spec_for_model(path)
+    golden = reference_maskgen(path, [frame] * 4, 480, 640, spec)
+    mg = MaskGen(path, 480, 640)
+    for _ in range(4):
+        ours = mg.process(frame)
+    assert iou(ours < 128, golden < 128) >= 0.99
+
+
 def test_roi_output_scaling_bodypix():
     # BodyPix: 257x257 in, 33x33 out; out_roi must live in 33x33 coords
     g = compute_roi(640, 480, 257, 257, 33, 33)
