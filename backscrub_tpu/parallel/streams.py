@@ -58,7 +58,10 @@ class MultiStreamPipeline:
         S = self.n_streams
         f = jax.device_put(jnp.asarray(frames), self._batch_sharding)
         if backgrounds is None:
-            backgrounds = np.broadcast_to(self.pipe.green, frames.shape)
+            # green fallback; backgrounds are always BGR (S,H,W,3) even when
+            # the camera frames arrive as raw YUYV bytes
+            backgrounds = np.broadcast_to(self.pipe.green,
+                                          (S,) + self.pipe.green.shape)
         b = jax.device_put(jnp.asarray(np.ascontiguousarray(backgrounds)),
                            self._batch_sharding)
         out, masks, self.ema = self._step(self.params, f, b, self.ema)

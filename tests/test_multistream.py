@@ -55,6 +55,24 @@ def test_multistream_ema_isolation(rng):
 
 
 @needs_8
+def test_multistream_yuyv_ingest(rng):
+    """The batched pipeline accepts raw YUYV stream batches too."""
+    import cv2
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False,
+                         input_format="yuyv")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    bgr = rng.integers(0, 256, (S, 48, 64, 3), np.uint8)
+    yuyv = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV_YUY2).reshape(48, 128)
+                     for f in bgr])
+    out, masks = ms.step(yuyv)  # green-fallback background
+    assert np.asarray(out).shape == (S, 48, 128)
+    assert np.asarray(masks).shape == (S, 48, 64)
+
+
+@needs_8
 def test_multistream_requires_divisible():
     path = model_path("segm_lite_v681.tflite")
     mesh = make_mesh(8)
