@@ -4,7 +4,9 @@
  * (opaque maskgen context + nullable stage callbacks), with raw BGR u8
  * buffers instead of cv::Mat so consumers need no OpenCV link.
  * Link against libbackscrub.so (embeds a Python interpreter driving the
- * TPU pipeline).
+ * TPU pipeline).  The backscrub_tpu package must be importable by the
+ * embedded interpreter — install it, or set PYTHONPATH to the repository
+ * root before loading this library.
  */
 
 #ifndef BACKSCRUB_TPU_H
