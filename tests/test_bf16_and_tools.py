@@ -53,6 +53,21 @@ def test_chroma_key():
     assert bgra[1, 1, 3] == 255
 
 
+def test_distill_example_runs(tmp_path):
+    """The cross-model distillation example (teacher labels -> student
+    fine-tune -> checkpoint/resume -> export) completes and improves
+    teacher agreement."""
+    out = str(tmp_path / "student.tflite")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/distill.py", "6", out],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "teacher-agreement" in r.stdout
+    assert os.path.exists(out)
+
+
 def test_minimal_demo_runs(tmp_path):
     out = str(tmp_path / "demo.png")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
