@@ -90,10 +90,11 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["width"] = int(val()); cfg["set_w_or_h"] = True
         elif a == "-h":
             cfg["height"] = int(val()); cfg["set_w_or_h"] = True
-        elif a == "--cg":
-            cfg["cap_geo"] = parse_geometry(val())
-        elif a == "--vg":
-            cfg["vid_geo"] = parse_geometry(val())
+        elif a in ("--cg", "--vg"):
+            geo = parse_geometry(val())
+            if geo is None:
+                raise ValueError(f"{a} expects <width>x<height>")
+            cfg["cap_geo" if a == "--cg" else "vid_geo"] = geo
         elif a == "-f":
             cfg["fourcc"] = val()
         elif a == "-t":

@@ -97,8 +97,13 @@ class LoweringCtx:
         raise KeyError(f"tensor {self.graph.tensor(idx)!r} referenced before definition")
 
     def get_const(self, idx: int, prepare: Optional[Callable] = None,
-                  inverse: Optional[Callable] = None):
-        key = self.key(idx)
+                  inverse: Optional[Callable] = None,
+                  variant: str = ""):
+        # `variant` keys layout-transformed copies separately, so one tensor
+        # shared by consumers with different prepare transforms (e.g. a
+        # weight feeding both a CONV_2D and a TRANSPOSE_CONV) never serves
+        # the wrong layout
+        key = self.key(idx) + (f"@{variant}" if variant else "")
         if key not in self.prepared:
             t = self.graph.tensor(idx)
             if not t.is_constant:

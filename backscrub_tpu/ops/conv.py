@@ -36,7 +36,8 @@ def conv2d(ctx, node):
     x = ctx.get(node.inputs[0])
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 2, 3, 0)),   # OHWI->HWIO
-                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2)))
+                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2)),
+                      variant="hwio")
     o = node.options
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
     y = lax.conv_general_dilated(
@@ -65,7 +66,8 @@ def depthwise_conv2d(ctx, node):
     # input channel c in both conventions.
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 2, 0, 3)),  # (fh, fw, 1, C*M)
-                      inverse=lambda a: np.transpose(a, (2, 0, 1, 3)))
+                      inverse=lambda a: np.transpose(a, (2, 0, 1, 3)),
+                      variant="dw")
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
     y = lax.conv_general_dilated(
         x, w,
@@ -88,7 +90,8 @@ def fully_connected(ctx, node):
     x = ctx.get(node.inputs[0])
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 0)),         # (O,K)->(K,O)
-                      inverse=lambda a: np.transpose(a, (1, 0)))
+                      inverse=lambda a: np.transpose(a, (1, 0)),
+                      variant="ko")
     o = node.options
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
@@ -133,7 +136,8 @@ def _lower_transpose_conv(ctx, node, x_idx, w_idx, bias_idx, stride_h, stride_w,
     # OHWI -> flip HW -> HWIO
     w = ctx.get_const(w_idx,
                       prepare=lambda a: np.transpose(a[:, ::-1, ::-1, :], (1, 2, 3, 0)),
-                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2))[:, ::-1, ::-1, :])
+                      inverse=lambda a: np.transpose(a, (3, 0, 1, 2))[:, ::-1, ::-1, :],
+                      variant="tconv")
     fh, fw = w.shape[0], w.shape[1]
     if out_hw is None:
         # MediaPipe custom-op SAME formula (transpose_conv_bias.cc:171-181)

@@ -16,8 +16,10 @@ from .registry import register
 
 @register("CONCATENATION")
 def concatenation(ctx, node):
+    from .common import apply_activation
     parts = [ctx.get(i) for i in node.inputs]
-    ctx.set(node.outputs[0], jnp.concatenate(parts, axis=node.options.get("axis", -1)))
+    y = jnp.concatenate(parts, axis=node.options.get("axis", -1))
+    ctx.set(node.outputs[0], apply_activation(y, node.options.get("activation")))
 
 
 @register("RESHAPE")

@@ -46,7 +46,7 @@ def average_pool(ctx, node):
                                          (sh, sw), pads, dimension_numbers=dn)
         y = summed / count
     else:
-        y = summed / np.float32(fh * fw)
+        y = summed / jnp.asarray(fh * fw, x.dtype)  # keep bf16 activations bf16
     ctx.set(node.outputs[0], apply_activation(y, o.get("activation")))
 
 

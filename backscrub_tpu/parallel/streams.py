@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline.frame import FramePipeline, PipelineConfig
-from .mesh import param_sharding_spec
+from .mesh import param_sharding_spec, shard_params
 
 
 class MultiStreamPipeline:
@@ -44,10 +44,8 @@ class MultiStreamPipeline:
         self._batch_sharding = NamedSharding(mesh, P("data"))
         self.ema = jax.device_put(
             jnp.full((n_streams, oh, ow), 255, jnp.uint8), self._batch_sharding)
-        self.params = {
-            k: jax.device_put(v, NamedSharding(mesh, param_sharding_spec(k, v, mesh)))
-            for k, v in self.pipe.maskgen.model.params.items()
-        }
+        self.params = shard_params(self.pipe.maskgen.model.params, mesh)
+        self._green_batch = None
         # batched compose: the pipeline stages are written with ellipsis
         # indexing, so the same compose fn handles the leading stream axis
         raw = self.pipe._make_step("explicit", config.flip_horizontal,
@@ -59,11 +57,16 @@ class MultiStreamPipeline:
         f = jax.device_put(jnp.asarray(frames), self._batch_sharding)
         if backgrounds is None:
             # green fallback; backgrounds are always BGR (S,H,W,3) even when
-            # the camera frames arrive as raw YUYV bytes
-            backgrounds = np.broadcast_to(self.pipe.green,
-                                          (S,) + self.pipe.green.shape)
-        b = jax.device_put(jnp.asarray(np.ascontiguousarray(backgrounds)),
-                           self._batch_sharding)
+            # the camera frames arrive as raw YUYV bytes; cached on device
+            if self._green_batch is None:
+                self._green_batch = jax.device_put(
+                    jnp.broadcast_to(jnp.asarray(self.pipe.green),
+                                     (S,) + self.pipe.green.shape),
+                    self._batch_sharding)
+            b = self._green_batch
+        else:
+            b = jax.device_put(jnp.asarray(np.ascontiguousarray(backgrounds)),
+                               self._batch_sharding)
         out, masks, self.ema = self._step(self.params, f, b, self.ema)
         return out, masks
 

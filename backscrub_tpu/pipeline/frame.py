@@ -76,9 +76,11 @@ class FramePipeline:
         ow = config.out_width or config.width
         oh = config.out_height or config.height
         self.out_geo = (oh, ow)
-        # default background: green screen (app/deepseg.cc:596-603 fallback)
+        # default background: green screen (app/deepseg.cc:596-603 fallback);
+        # kept device-resident so green mode pays no per-frame upload
         self.green = np.zeros((config.height, config.width, 3), np.uint8)
         self.green[..., 1] = 255
+        self._green_dev = None
         self._steps = {}  # (bg_mode, flip_h, flip_v, active) -> jitted step
         self._step_bg = self._get_step("explicit", config.flip_horizontal,
                                        config.flip_vertical, True)
@@ -169,7 +171,12 @@ class FramePipeline:
             step = self._get_step("blur", fh, fv, filter_active)
             out, mask, self.maskgen.ema = step(params, frame, self.maskgen.ema)
         else:
-            bg = jnp.asarray(self.green if background_bgr_u8 is None else background_bgr_u8)
+            if background_bgr_u8 is None:
+                if self._green_dev is None:
+                    self._green_dev = jnp.asarray(self.green)
+                bg = self._green_dev
+            else:
+                bg = jnp.asarray(background_bgr_u8)
             step = self._get_step("explicit", fh, fv, filter_active)
             out, mask, self.maskgen.ema = step(params, frame, bg, self.maskgen.ema)
         return out, mask

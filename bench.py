@@ -61,7 +61,6 @@ def measure(pipe, w, h, iters=ITERS, bg_frames=None):
         bg_frames = [jax.device_put(b) for b in bg_frames]
 
     params = pipe.maskgen.model.params
-    blur_mode = pipe.cfg.blur_strength and bg_frames is None
     step = pipe._step_bg
     ema = pipe.maskgen.ema
     for i in range(WARMUP):

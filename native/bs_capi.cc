@@ -59,7 +59,9 @@ std::string py_error() {
   if (value) {
     PyObject *s = PyObject_Str(value);
     if (s) {
-      out = PyUnicode_AsUTF8(s);
+      const char *utf8 = PyUnicode_AsUTF8(s);  // NULL if not UTF-8 encodable
+      if (utf8) out = utf8;
+      else PyErr_Clear();
       Py_DECREF(s);
     }
   }
@@ -136,8 +138,11 @@ void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
   c->maskgen = obj;
   c->process = PyObject_GetAttrString(obj, "process_bytes");
   if (!c->process) {
-    PyErr_Clear();
-    c->process = PyObject_GetAttrString(obj, "process");
+    dbg(c, ("bs_maskgen_new: " + py_error()).c_str());
+    Py_DECREF(obj);
+    PyGILState_Release(g);
+    delete c;
+    return nullptr;
   }
   PyGILState_Release(g);
   return c;

@@ -75,10 +75,11 @@ int bsio_loopback_write(int fd, const uint8_t *data, int64_t size) {
   const uint8_t *p = data;
   while (left > 0) {
     ssize_t n = write(fd, p, (size_t)left);
-    if (n <= 0) {
+    if (n < 0) {
       if (errno == EINTR) continue;
       return -errno;
     }
+    if (n == 0) return -EIO;  // no progress; errno may be stale here
     left -= n;
     p += n;
   }
