@@ -22,6 +22,7 @@ DeepLab (README.md:126,177), ~30 FPS with the Meet models (BASELINE.json
 """
 
 import json
+import os
 import sys
 import time
 
@@ -213,9 +214,41 @@ def run_config_sweep():
     return results
 
 
+def run_parity_check():
+    """On-chip mask parity: every model vs the cv2+TFLite CPU golden, using
+    whatever device JAX selected (TPU in deployment).  Prints per-model IoU
+    and exits nonzero if any model drops below 0.99."""
+    import cv2
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_pipeline import iou, reference_maskgen
+    from backscrub_tpu.pipeline.maskgen import MaskGen
+    from backscrub_tpu.models.specs import resolve_model_path, spec_for_model
+
+    frame = cv2.imread("/root/reference/backgrounds/screenshot.jpg")
+    frame = cv2.resize(frame, (640, 480))
+    worst = 1.0
+    for name in ["segm_lite_v681.tflite", "segm_full_v679.tflite",
+                 "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+                 "deeplabv3_257_mv_gpu.tflite", "body-pix-float-050-8.tflite"]:
+        p = resolve_model_path(name)
+        golden = reference_maskgen(p, [frame] * 4, 640, 480, spec_for_model(p))
+        mg = MaskGen(p, 640, 480)
+        for _ in range(4):
+            ours = mg.process(frame)
+        score = iou(ours < 128, golden < 128)
+        worst = min(worst, score)
+        print(f"  {name[:52]:54s} IoU {score:.4f}", file=sys.stderr)
+    print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
+                      "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
+    sys.exit(0 if worst >= 0.99 else 1)
+
+
 def main():
     if "--config" in sys.argv:
         run_one_config(sys.argv[sys.argv.index("--config") + 1])
+        return
+    if "--parity" in sys.argv:
+        run_parity_check()
         return
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
