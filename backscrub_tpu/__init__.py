@@ -18,6 +18,22 @@ import os
 __version__ = "0.1.0"
 
 
+def _apply_platform_override():
+    """Honor BACKSCRUB_TPU_PLATFORM=cpu|tpu even when a sitecustomize has
+    already imported jax and pinned a platform (env vars like JAX_PLATFORMS
+    are read at jax import time, which may predate this process's control —
+    notably inside the embedded interpreter of native/bs_capi.cc).  Applied
+    post-import, before any backend is instantiated, like tests/conftest."""
+    plat = os.environ.get("BACKSCRUB_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first compile of the 241-node model
     graphs is expensive (especially via remote compile); subsequent processes
@@ -34,6 +50,7 @@ def _enable_compile_cache():
         pass
 
 
+_apply_platform_override()
 _enable_compile_cache()
 
 from .graph.executor import CompiledModel, build_model, load_model  # noqa: E402
