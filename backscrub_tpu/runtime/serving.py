@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from ..io.staging import StagingRing
 from ..pipeline.frame import FramePipeline
 
 
@@ -30,13 +31,21 @@ class ServingLoop:
     ``run(source, sink, background=None, frames=0)`` pulls BGR frames from
     ``source`` (callable -> frame | None), pushes packed YUYV results into
     ``sink`` (callable), keeping ``depth`` results in flight.
+
+    ``staging=True`` routes both transfer directions through pinned-host
+    staging (io/staging.py): uploads take the DMA-eligible pinned hop, and
+    results are staged out of HBM into pinned memory instead of relying on
+    ``copy_to_host_async``.  Results are bit-identical either way; on
+    backends without a pinned space it silently degrades to the plain path.
     """
 
-    def __init__(self, pipe: FramePipeline, depth: int = 3):
+    def __init__(self, pipe: FramePipeline, depth: int = 3,
+                 staging: bool = False):
         if depth < 1:
             raise ValueError("depth must be >= 1")
         self.pipe = pipe
         self.depth = depth
+        self.staging = StagingRing(depth=depth) if staging else None
         self._ring: collections.deque = collections.deque()
 
     def _drain_one(self, sink: Callable[[np.ndarray], None]):
@@ -45,11 +54,19 @@ class ServingLoop:
 
     def submit(self, frame, background=None, **step_kwargs):
         """Dispatch one frame; starts its async D2H immediately."""
+        if self.staging is not None:
+            if isinstance(frame, np.ndarray):
+                frame = self.staging.upload(frame)
+            if isinstance(background, np.ndarray):
+                background = self.staging.upload(background)
         out, _mask = self.pipe.step(frame, background, **step_kwargs)
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass  # platforms without async copy: np.asarray later blocks
+        if self.staging is not None:
+            out = self.staging.to_pinned(out)
+        else:
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass  # platforms without async copy: np.asarray later blocks
         self._ring.append(out)
 
     def ready(self) -> bool:

@@ -113,8 +113,28 @@ def transfer_diag(pipe, w, h):
     for o in outs:
         np.asarray(o)
     down_ms = 1000 * (time.perf_counter() - t0) / 8
+
+    # pinned-host staging path (io/staging.py), for comparison on real PCIe
+    from backscrub_tpu.io.staging import StagingRing
+    ring = StagingRing()
+    pin_up_ms = pin_down_ms = float("nan")
+    if ring.supported:
+        t0 = time.perf_counter()
+        for i in range(8):
+            ring.upload(host[i % 4]).block_until_ready()
+        pin_up_ms = 1000 * (time.perf_counter() - t0) / 8
+        outs2 = []
+        for i in range(8):
+            o, _, ema = step(params, ring.upload(host[i % 4]), bg, ema)
+            outs2.append(o)
+        jax.block_until_ready(outs2)
+        t0 = time.perf_counter()
+        staged = [ring.to_pinned(o) for o in outs2]
+        for s in staged:
+            np.asarray(s)
+        pin_down_ms = 1000 * (time.perf_counter() - t0) / 8
     pipe.maskgen.ema = ema
-    return up_ms, down_ms
+    return up_ms, down_ms, pin_up_ms, pin_down_ms
 
 
 CONFIGS = [
@@ -256,11 +276,12 @@ def main():
     W, H = 1280, 720
     pipe = build_pipe("segm_lite_v681.tflite", W, H)
     fps, p50 = measure(pipe, W, H)
-    up_ms, down_ms = transfer_diag(pipe, W, H)
+    up_ms, down_ms, pin_up, pin_down = transfer_diag(pipe, W, H)
     e2e_ms = 1000.0 / fps + max(up_ms, down_ms)
     print(f"device pipeline: {fps:.1f} fps ({1000.0/fps:.3f} ms/frame), "
           f"p50 blocking latency {p50:.3f} ms (target < 5)", file=sys.stderr)
     print(f"transfers: up {up_ms:.1f} ms, down(async) {down_ms:.1f} ms "
+          f"(pinned-staged: up {pin_up:.1f} ms, down {pin_down:.1f} ms) "
           f"-> est e2e {1000.0/e2e_ms:.1f} fps through this container's tunnel",
           file=sys.stderr)
 
