@@ -132,9 +132,10 @@ def depth_to_space(ctx, node):
 @register("GATHER")
 def gather(ctx, node):
     x = ctx.get(node.inputs[0])
-    idx = ctx.const_value(node.inputs[1])
+    idx = ctx.maybe_static(node.inputs[1])
+    idx = jnp.asarray(idx) if idx is not None else ctx.get(node.inputs[1])
     axis = node.options.get("axis", 0)
-    ctx.set(node.outputs[0], jnp.take(x, jnp.asarray(idx), axis=axis))
+    ctx.set(node.outputs[0], jnp.take(x, idx, axis=axis))
 
 
 @register("TILE")
@@ -149,3 +150,135 @@ def l2_normalization(ctx, node):
     x = ctx.get(node.inputs[0])
     ctx.set(node.outputs[0], x * jax.lax.rsqrt(
         jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12))
+
+
+@register("FLOOR_DIV")
+def floor_div(ctx, node):
+    ctx.set(node.outputs[0], jnp.floor_divide(ctx.get(node.inputs[0]),
+                                              ctx.get(node.inputs[1])))
+
+
+@register("FLOOR_MOD")
+def floor_mod(ctx, node):
+    # TF FloorMod: result has the divisor's sign (Python % semantics) = jnp.mod
+    ctx.set(node.outputs[0], jnp.mod(ctx.get(node.inputs[0]),
+                                     ctx.get(node.inputs[1])))
+
+
+@register("REDUCE_MIN")
+def reduce_min(ctx, node):
+    x = ctx.get(node.inputs[0])
+    axes = tuple(int(a) for a in ctx.const_value(node.inputs[1]).reshape(-1))
+    ctx.set(node.outputs[0], jnp.min(x, axis=axes,
+                                     keepdims=node.options.get("keep_dims", False)))
+
+
+@register("REDUCE_PROD")
+def reduce_prod(ctx, node):
+    x = ctx.get(node.inputs[0])
+    axes = tuple(int(a) for a in ctx.const_value(node.inputs[1]).reshape(-1))
+    ctx.set(node.outputs[0], jnp.prod(x, axis=axes,
+                                      keepdims=node.options.get("keep_dims", False)))
+
+
+@register("ARG_MIN")
+def arg_min(ctx, node):
+    x = ctx.get(node.inputs[0])
+    axis = int(ctx.const_value(node.inputs[1]).reshape(-1)[0])
+    out_t = ctx.graph.tensor(node.outputs[0])
+    ctx.set(node.outputs[0], jnp.argmin(x, axis=axis).astype(out_t.dtype))
+
+
+@register("LOG_SOFTMAX")
+def log_softmax(ctx, node):
+    ctx.set(node.outputs[0], jax.nn.log_softmax(ctx.get(node.inputs[0]), axis=-1))
+
+
+@register("BATCH_MATMUL")
+def batch_matmul(ctx, node):
+    x = ctx.get(node.inputs[0])
+    y = ctx.get(node.inputs[1])
+    if node.options.get("adj_x", False):
+        x = jnp.swapaxes(x, -1, -2)
+    if node.options.get("adj_y", False):
+        y = jnp.swapaxes(y, -1, -2)
+    ctx.set(node.outputs[0], jnp.matmul(x, y))
+
+
+@register("FILL")
+def fill(ctx, node):
+    dims = ctx.const_value(node.inputs[0]).reshape(-1).astype(int)
+    val = ctx.get(node.inputs[1])
+    out_t = ctx.graph.tensor(node.outputs[0])
+    ctx.set(node.outputs[0],
+            jnp.full(tuple(dims), val, dtype=out_t.dtype))
+
+
+@register("ZEROS_LIKE")
+def zeros_like(ctx, node):
+    ctx.set(node.outputs[0], jnp.zeros_like(ctx.get(node.inputs[0])))
+
+
+@register("ONE_HOT")
+def one_hot(ctx, node):
+    idx = ctx.get(node.inputs[0])
+    depth = int(ctx.const_value(node.inputs[1]).reshape(-1)[0])
+    on_v = ctx.get(node.inputs[2])
+    off_v = ctx.get(node.inputs[3])
+    axis = node.options.get("axis", -1)
+    hot = jax.nn.one_hot(idx, depth, axis=axis, dtype=jnp.float32)
+    ctx.set(node.outputs[0], (hot * on_v + (1.0 - hot) * off_v
+                              ).astype(ctx.graph.tensor(node.outputs[0]).dtype))
+
+
+@register("CUMSUM")
+def cumsum(ctx, node):
+    x = ctx.get(node.inputs[0])
+    axis = int(ctx.const_value(node.inputs[1]).reshape(-1)[0])
+    y = x
+    if node.options.get("reverse", False):
+        y = jnp.flip(y, axis=axis)
+    y = jnp.cumsum(y, axis=axis)
+    if node.options.get("exclusive", False):
+        pad = [(0, 0)] * y.ndim
+        pad[axis] = (1, 0)
+        y = jnp.pad(y, pad)[tuple(
+            slice(0, -1) if i == (axis % y.ndim) else slice(None)
+            for i in range(y.ndim))]
+    if node.options.get("reverse", False):
+        y = jnp.flip(y, axis=axis)
+    ctx.set(node.outputs[0], y)
+
+
+# --- SpaceToBatchND / BatchToSpaceND: how TF lowers dilated (atrous) convs
+# for exports like DeepLabv3+/Xception — conv with rate r becomes
+# SPACE_TO_BATCH_ND(r) -> CONV_2D(stride 1) -> BATCH_TO_SPACE_ND(r).
+
+
+@register("SPACE_TO_BATCH_ND")
+def space_to_batch_nd(ctx, node):
+    x = ctx.get(node.inputs[0])
+    block = ctx.const_value(node.inputs[1]).reshape(-1).astype(int)
+    pads = ctx.const_value(node.inputs[2]).astype(int)
+    bh, bw = int(block[0]), int(block[1])
+    n, h, w, c = x.shape
+    x = jnp.pad(x, [(0, 0), tuple(pads[0]), tuple(pads[1]), (0, 0)])
+    h2, w2 = h + pads[0].sum(), w + pads[1].sum()
+    y = x.reshape(n, h2 // bh, bh, w2 // bw, bw, c)
+    y = y.transpose(2, 4, 0, 1, 3, 5)  # (bh, bw, n, h2/bh, w2/bw, c)
+    ctx.set(node.outputs[0], y.reshape(bh * bw * n, h2 // bh, w2 // bw, c))
+
+
+@register("BATCH_TO_SPACE_ND")
+def batch_to_space_nd(ctx, node):
+    x = ctx.get(node.inputs[0])
+    block = ctx.const_value(node.inputs[1]).reshape(-1).astype(int)
+    crops = ctx.const_value(node.inputs[2]).astype(int)
+    bh, bw = int(block[0]), int(block[1])
+    nb, h, w, c = x.shape
+    n = nb // (bh * bw)
+    y = x.reshape(bh, bw, n, h, w, c).transpose(2, 3, 0, 4, 1, 5)
+    y = y.reshape(n, h * bh, w * bw, c)
+    (ct, cb), (cl, cr) = crops
+    ctx.set(node.outputs[0],
+            y[:, int(ct):h * bh - int(cb), int(cl):w * bw - int(cr), :])

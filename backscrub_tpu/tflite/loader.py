@@ -159,6 +159,18 @@ def _parse_builtin_options(sg, op, op_name: str) -> Dict[str, Any]:
         if t:
             o = dict(then_subgraph=t.ThenSubgraphIndex(),
                      else_subgraph=t.ElseSubgraphIndex())
+    elif op_name == "BATCH_MATMUL":
+        t = _init_options(sg, "BatchMatMulOptions", op)
+        if t:
+            o = dict(adj_x=bool(t.AdjX()), adj_y=bool(t.AdjY()))
+    elif op_name == "CUMSUM":
+        t = _init_options(sg, "CumsumOptions", op)
+        if t:
+            o = dict(exclusive=bool(t.Exclusive()), reverse=bool(t.Reverse()))
+    elif op_name == "ONE_HOT":
+        t = _init_options(sg, "OneHotOptions", op)
+        if t:
+            o = dict(axis=t.Axis())
     elif op_name == "TRANSPOSE_CONV":
         t = _init_options(sg, "TransposeConvOptions", op)
         if t:

@@ -246,3 +246,101 @@ def test_cmake_package_config_installs(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-500:]
     assert "bsio at" in r.stdout
+
+
+def _tflite_golden(blob, x):
+    import tensorflow as tf
+    it = tf.lite.Interpreter(model_content=blob)
+    it.allocate_tensors()
+    d = it.get_input_details()[0]
+    it.set_tensor(d["index"], x)
+    it.invoke()
+    return it.get_tensor(it.get_output_details()[0]["index"])
+
+
+def test_space_to_batch_roundtrip():
+    """SPACE_TO_BATCH_ND / BATCH_TO_SPACE_ND — TF's lowering of atrous
+    (dilated) convolutions in DeepLabv3+/Xception exports."""
+    tf = pytest.importorskip("tensorflow")
+
+    class M(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec((1, 8, 10, 4), tf.float32)])
+        def __call__(self, x):
+            y = tf.space_to_batch_nd(x, [2, 2], [[1, 1], [2, 0]])
+            y = tf.nn.relu(y) * 0.5
+            return tf.batch_to_space(y, [2, 2], [[1, 1], [2, 0]])
+
+    m = M()
+    blob = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    hist = g.op_histogram()
+    assert "SPACE_TO_BATCH_ND" in hist and "BATCH_TO_SPACE_ND" in hist
+    cm = build_model(g)
+    x = np.random.default_rng(0).random((1, 8, 10, 4), np.float32)
+    np.testing.assert_allclose(np.asarray(cm(x)), _tflite_golden(blob, x),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_math_op_batch_two():
+    """BATCH_MATMUL, FLOOR_DIV/MOD, ARG_MIN+ONE_HOT, REDUCE_MIN/PROD,
+    CUMSUM(exclusive,reverse), LOG_SOFTMAX, FILL vs TFLite."""
+    tf = pytest.importorskip("tensorflow")
+
+    class M(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec((2, 6, 8), tf.float32)])
+        def __call__(self, x):
+            bm = tf.matmul(x, x, transpose_b=True) @ x          # adj_y path
+            fd = tf.math.floordiv(x * 5.0, 2.0)
+            fm = tf.math.floormod(x * 5.0, -2.0)                # sign-of-divisor
+            oh = tf.one_hot(tf.argmin(x, axis=-1, output_type=tf.int32),
+                            8, on_value=2.0, off_value=-1.0)
+            rm = tf.reduce_min(x, axis=-1, keepdims=True)
+            rp = tf.reduce_prod(x * 0.9 + 0.1, axis=1, keepdims=True)
+            cs = tf.cumsum(x, axis=-1, exclusive=True, reverse=True)
+            ls = tf.nn.log_softmax(x, axis=-1)
+            return bm + fd + fm + oh + rm + rp + cs + ls
+
+    m = M()
+    blob = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    hist = g.op_histogram()
+    for op in ["BATCH_MATMUL", "FLOOR_DIV", "FLOOR_MOD", "ONE_HOT",
+               "REDUCE_MIN", "REDUCE_PROD", "CUMSUM", "LOG_SOFTMAX"]:
+        assert op in hist, (op, hist)
+    cm = build_model(g)
+    x = (np.random.default_rng(1).random((2, 6, 8), np.float32) + 0.25)
+    np.testing.assert_allclose(np.asarray(cm(x)), _tflite_golden(blob, x),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fill_op():
+    """FILL with a runtime value (constant fills get folded by the converter)."""
+    tf = pytest.importorskip("tensorflow")
+
+    class M(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec((1, 4), tf.float32)])
+        def __call__(self, x):
+            return tf.fill([1, 3, 4], tf.reduce_max(x))
+
+    m = M()
+    blob = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m).convert()
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    assert "FILL" in g.op_histogram(), g.op_histogram()
+    cm = build_model(g)
+    x = np.random.default_rng(2).random((1, 4), np.float32)
+    np.testing.assert_allclose(np.asarray(cm(x)), _tflite_golden(blob, x),
+                               atol=1e-6, rtol=1e-6)
