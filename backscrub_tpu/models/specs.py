@@ -60,6 +60,16 @@ def spec_for_model(model_path: str) -> ModelSpec:
 
 DEFAULT_MODEL = "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite"
 
+# The five model families shipped with the reference (SURVEY.md §2.2) —
+# the canonical list every parity surface iterates (tests + bench --parity).
+BUNDLED_MODELS = (
+    "segm_lite_v681.tflite",
+    "segm_full_v679.tflite",
+    "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+    "deeplabv3_257_mv_gpu.tflite",
+    "body-pix-float-050-8.tflite",
+)
+
 _SEARCH_PATHS = [
     os.environ.get("BACKSCRUB_PATH", ""),
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "models"),

@@ -22,7 +22,6 @@ DeepLab (README.md:126,177), ~30 FPS with the Meet models (BASELINE.json
 """
 
 import json
-import os
 import sys
 import time
 
@@ -239,17 +238,19 @@ def run_parity_check():
     whatever device JAX selected (TPU in deployment).  Prints per-model IoU
     and exits nonzero if any model drops below 0.99."""
     import cv2
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from test_pipeline import iou, reference_maskgen
+    # package-level helpers, NOT tests/: importing test config would pin JAX
+    # to CPU and the "on-device" check would silently stop testing the TPU
+    from backscrub_tpu.utils.parity import iou, reference_maskgen
     from backscrub_tpu.pipeline.maskgen import MaskGen
-    from backscrub_tpu.models.specs import resolve_model_path, spec_for_model
+    from backscrub_tpu.models.specs import (BUNDLED_MODELS, resolve_model_path,
+                                            spec_for_model)
 
+    import jax
+    print(f"parity device: {jax.devices()[0]}", file=sys.stderr)
     frame = cv2.imread("/root/reference/backgrounds/screenshot.jpg")
     frame = cv2.resize(frame, (640, 480))
     worst = 1.0
-    for name in ["segm_lite_v681.tflite", "segm_full_v679.tflite",
-                 "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
-                 "deeplabv3_257_mv_gpu.tflite", "body-pix-float-050-8.tflite"]:
+    for name in BUNDLED_MODELS:
         p = resolve_model_path(name)
         golden = reference_maskgen(p, [frame] * 4, 640, 480, spec_for_model(p))
         mg = MaskGen(p, 640, 480)

@@ -210,10 +210,17 @@ int main(int argc, char **argv) {
   // (app/deepseg.cc:596-603).
   if (!o.background.empty()) {
     FILE *f = fopen(o.background.c_str(), "rb");
-    if (!f || fread(bg.data(), 1, bg.size(), f) != bg.size()) {
-      fprintf(stderr, "failed to read background %s: %s\n",
+    if (!f) {
+      fprintf(stderr, "failed to open background %s: %s\n",
               o.background.c_str(), strerror(errno));
-      if (f) fclose(f);
+      return 1;
+    }
+    size_t got = fread(bg.data(), 1, bg.size(), f);
+    if (got != bg.size()) {
+      fprintf(stderr,
+              "background %s: read %zu bytes, need %zu (raw BGR24 at %dx%d)\n",
+              o.background.c_str(), got, bg.size(), o.width, o.height);
+      fclose(f);
       return 1;
     }
     fclose(f);
@@ -289,7 +296,11 @@ int main(int argc, char **argv) {
       break;
     }
     int64_t t2 = now_ns();
-    if (maskout) fwrite(mask.data(), 1, mask.size(), maskout);
+    if (maskout && fwrite(mask.data(), 1, mask.size(), maskout) != mask.size()) {
+      fprintf(stderr, "mask dump write failed: %s\n", strerror(errno));
+      rc = 1;
+      break;
+    }
     alpha_blend(bg.data(), cam.data(), mask.data(), o.width, o.height,
                 comp.data());
     flip_image(comp.data(), o.width, o.height, 3, o.flip_h, o.flip_v);
@@ -301,8 +312,10 @@ int main(int argc, char **argv) {
         rc = 1;
         break;
       }
-    } else if (out) {
-      fwrite(yuyv.data(), 1, yuyv.size(), out);
+    } else if (out && fwrite(yuyv.data(), 1, yuyv.size(), out) != yuyv.size()) {
+      fprintf(stderr, "sink write failed: %s\n", strerror(errno));
+      rc = 1;
+      break;
     }
     int64_t t4 = now_ns();
     if (o.debug)  // per-frame stage line, like app/deepseg.cc:702-719

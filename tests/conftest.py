@@ -33,13 +33,9 @@ for cand in [
         MODELS_DIR = cand
         break
 
-ALL_MODELS = [
-    "segm_lite_v681.tflite",
-    "segm_full_v679.tflite",
-    "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
-    "deeplabv3_257_mv_gpu.tflite",
-    "body-pix-float-050-8.tflite",
-]
+from backscrub_tpu.models.specs import BUNDLED_MODELS
+
+ALL_MODELS = list(BUNDLED_MODELS)
 
 
 def model_path(name: str) -> str:

@@ -90,6 +90,9 @@ def test_native_demo_version():
                        text=True, timeout=300)
     assert r.returncode == 0
     assert "jax-" in r.stdout and "bsio" in r.stdout
+    # "jax-unavailable" is the C-API's import-failure sentinel; seeing it
+    # means the embedded interpreter couldn't import jax at all
+    assert "jax-unavailable" not in r.stdout
 
 
 def test_native_demo_bad_model_fails_cleanly():

@@ -126,55 +126,9 @@ def test_roi_output_scaling_bodypix():
 # end-to-end golden: our fused mask pipeline vs cv2+TFLite reference path
 
 
-def reference_maskgen(path, frames_bgr, width, height, spec):
-    """Independent implementation of bs_maskgen_process semantics
-    (lib/libbackscrub.cc:279-372) with cv2 + TFLite CPU, used as golden."""
-    import tensorflow as tf
-    it = tf.lite.Interpreter(model_path=path)
-    it.allocate_tensors()
-    din = it.get_input_details()[0]
-    dout = it.get_output_details()[0]
-    ih, iw = din["shape"][1:3]
-    oh, ow = dout["shape"][1:3]
-    from backscrub_tpu.pipeline.geometry import compute_roi as _roi
-    g = _roi(width, height, iw, ih, ow, oh)
-    ema = np.full((oh, ow), 255, np.uint8)
-    mask_full = np.full((height, width), 255, np.uint8)
-    for frame in frames_bgr:
-        roi = frame[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w]
-        canvas = np.zeros((ih, iw, 3), np.uint8)
-        # float-precision resize: cv2's u8 path is 11-bit fixed point and
-        # disagrees with its own float path by +-1 on ~13% of pixels; the
-        # golden uses the precise convention so the comparison measures the
-        # pipeline, not cv2's quantization
-        small = cv2.resize(roi.astype(np.float32), (g.in_roi.w, g.in_roi.h),
-                           interpolation=cv2.INTER_LINEAR)
-        canvas[g.in_roi.y:g.in_roi.y + g.in_roi.h, g.in_roi.x:g.in_roi.x + g.in_roi.w] = \
-            np.clip(np.round(small), 0, 255).astype(np.uint8)
-        rgb = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
-        rgb = cv2.bilateralFilter(rgb, 5, 100.0, 100.0)
-        x = rgb.astype(np.float32) * spec.scale + spec.offset
-        it.set_tensor(din["index"], x[None])
-        it.invoke()
-        out = it.get_tensor(dout["index"])[0]
-        if spec.decode == "argmax_person":
-            val = np.where(out.argmax(-1) == spec.person_class, 0, 255).astype(np.uint8)
-        elif spec.decode == "threshold":
-            val = np.where(out[..., 0] > spec.threshold, 0, 255).astype(np.uint8)
-        else:
-            val = np.where(out[..., 0] < out[..., 1], 0, 255).astype(np.uint8)
-        ema = ((val & 0xE0) | (ema >> 3)).astype(np.uint8)
-        small = ema[g.out_roi.y:g.out_roi.y + g.out_roi.h, g.out_roi.x:g.out_roi.x + g.out_roi.w]
-        up = cv2.resize(small, (g.roi.w, g.roi.h), interpolation=cv2.INTER_LINEAR)
-        up = cv2.blur(up, (5, 5))
-        mask_full[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w] = up
-    return mask_full
-
-
-def iou(a_person, b_person):
-    inter = np.logical_and(a_person, b_person).sum()
-    union = np.logical_or(a_person, b_person).sum()
-    return 1.0 if union == 0 else inter / union
+# Shared with the deployment fidelity gate (`bench.py --parity`); living in
+# the package keeps that gate free of test config (conftest pins JAX to CPU).
+from backscrub_tpu.utils.parity import iou, reference_maskgen  # noqa: E402,F401
 
 
 def test_mask_iou_image_variants():
