@@ -45,6 +45,71 @@ def resize_bilinear(x, out_h: int, out_w: int, precision=None):
     return y
 
 
+def _cv2_linear_taps(in_size: int, out_size: int):
+    """OpenCV INTER_LINEAR tap positions/coefficients, fixed point (x2048).
+
+    Mirrors imgproc/resize.cpp: fx computed in float32 from the double
+    scale, floor/frac split, each tap rounded to the 11-bit grid with
+    cvRound (ties-to-even).  Border behavior is left to the caller: indices
+    may be -1 or in_size and must be clamped at the sample site (OpenCV
+    clamps the row/column POINTERS, keeping the fractional coefficients —
+    with the per-tap truncation below, that is observable at borders)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    fx = ((dst + 0.5) * (in_size / out_size) - 0.5).astype(np.float32)
+    sx = np.floor(fx).astype(np.int64)
+    fx = fx.astype(np.float64) - sx
+    c1 = np.rint(fx * 2048.0).astype(np.int32)
+    return sx, 2048 - c1, c1
+
+
+def resize_bilinear_u8_exact(x_u8, out_h: int, out_w: int):
+    """cv2.resize(..., INTER_LINEAR) on u8, bit-exact with OpenCV's
+    SIMD fixed-point path, on (..., H, W, C) u8.
+
+    The reference resizes masks/frames in the u8 domain (cv::resize at
+    lib/libbackscrub.cc:289,368); cv2's u8 path is 11-bit fixed point and
+    differs from its float path by +-1 on ~13% of pixels.  This op
+    reproduces the u8 path exactly: horizontal pass as an integer
+    interpolation-matrix contraction (exact in int32), vertical pass with
+    OpenCV's vectorized rounding ``(((row>>4)*beta)>>16`` per tap,
+    ``+2)>>2`` — the truncation order matters and is reproduced tap-wise."""
+    h, w = x_u8.shape[-3], x_u8.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x_u8
+    sx, c0x, c1x = _cv2_linear_taps(w, out_w)
+    m = np.zeros((out_w, w), np.int32)
+    cols = np.arange(out_w)
+    np.add.at(m, (cols, np.clip(sx, 0, w - 1)), c0x)
+    np.add.at(m, (cols, np.clip(sx + 1, 0, w - 1)), c1x)
+    acc = jnp.einsum("pw,...hwc->...hpc", jnp.asarray(m),
+                     x_u8.astype(jnp.int32))  # <= 255*2048, exact in int32
+    sy, b0, b1 = _cv2_linear_taps(h, out_h)
+    r0 = jnp.take(acc, jnp.asarray(np.clip(sy, 0, h - 1)), axis=-3) >> 4
+    r1 = jnp.take(acc, jnp.asarray(np.clip(sy + 1, 0, h - 1)), axis=-3) >> 4
+    b0 = jnp.asarray(b0[:, None, None])
+    b1 = jnp.asarray(b1[:, None, None])
+    out = (((r0 * b0) >> 16) + ((r1 * b1) >> 16) + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def box_blur_u8_exact(x_u8, ksize: int = 5):
+    """cv2.blur on u8, bit-exact: integer window sums (reflect-101 border)
+    scaled by 1/k^2 with cvRound.  Safe in f32: the sum is <= k^2*255 and
+    sum/k^2 is never within f32 error of a rounding tie (sum is integral)."""
+    r = ksize // 2
+    pad = [(0, 0)] * (x_u8.ndim - 3) + [(r, r), (r, r), (0, 0)]
+    xp = jnp.pad(x_u8.astype(jnp.int32), pad, mode="reflect")
+    h, w = x_u8.shape[-3], x_u8.shape[-2]
+    acc = 0
+    for i in range(ksize):
+        acc = acc + xp[..., i:i + h, :, :]
+    acc2 = 0
+    for j in range(ksize):
+        acc2 = acc2 + acc[..., :, j:j + w, :]
+    out = jnp.rint(acc2.astype(jnp.float32) * (1.0 / (ksize * ksize)))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # bilateral filter
 

@@ -23,7 +23,8 @@ from ..graph.executor import CompiledModel, load_model
 from ..models.specs import ModelSpec, resolve_model_path, spec_for_model
 from .decode import decode_val, ema_update
 from .geometry import RoiGeometry, compute_roi
-from .image import bilateral5, box_blur, resize_bilinear
+from .image import (bilateral5, box_blur, box_blur_u8_exact, resize_bilinear,
+                    resize_bilinear_u8_exact)
 
 
 def _on_tpu() -> bool:
@@ -59,14 +60,27 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
     return rgb * dtype(spec.scale) + dtype(spec.offset)
 
 
-def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None):
+def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
+                     u8_exact: bool = False):
     """EMA mask (..., oh, ow) u8 -> full-frame mask (..., H, W) u8.
 
     Crop the model-output ROI, upscale to the frame ROI, 5x5 box blur, and
     embed in an all-255 canvas (libbackscrub.cc:366-371 + mask init :248).
+
+    ``u8_exact=True`` runs the upscale+blur with OpenCV's u8 fixed-point
+    semantics bit-exactly (cv2's u8 and float resize paths differ by +-1 on
+    ~13% of pixels) — byte parity with the reference binary's post-decode
+    stages, at a small cost (integer matmul off the happy path).
     """
     o = geo.out_roi
     small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
+    if u8_exact:
+        up8 = resize_bilinear_u8_exact(small[..., None], geo.roi.h, geo.roi.w)
+        m = box_blur_u8_exact(up8, 5)[..., 0]
+        r = geo.roi
+        pad = [(0, 0)] * (m.ndim - 2) + [(r.y, geo.frame_h - r.y - r.h),
+                                         (r.x, geo.frame_w - r.x - r.w)]
+        return jnp.pad(m, pad, constant_values=255)
     small_f = small.astype(jnp.float32)[..., None]
     up = resize_bilinear(small_f, geo.roi.h, geo.roi.w, precision=precision)
     # the reference resizes in u8 then blurs u8; round between stages so
@@ -96,6 +110,7 @@ class MaskGen:
                  precision=jax.lax.Precision.HIGHEST,
                  use_bilateral: bool = True,
                  fused: bool = True,
+                 u8_exact_post: bool = False,
                  quantize=None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
@@ -120,6 +135,7 @@ class MaskGen:
         self.precision = precision
         self.use_bilateral = use_bilateral
         self.fused = fused
+        self.u8_exact_post = u8_exact_post
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)
         self._dbg(f"loaded {self.model_path} ({self.spec.kind}, "
@@ -135,7 +151,8 @@ class MaskGen:
             out = out[0] if x.ndim == 3 else out
             val = decode_val(out.astype(jnp.float32), self.spec)
             new_ema = ema_update(ema, val)
-            mask = postprocess_mask(new_ema, self.geo, precision=self.precision)
+            mask = postprocess_mask(new_ema, self.geo, precision=self.precision,
+                                    u8_exact=self.u8_exact_post)
             return mask, new_ema
 
         self._step = jax.jit(_step, donate_argnums=(2,))
@@ -155,7 +172,8 @@ class MaskGen:
     def _decode_post(self, out, ema):
         val = decode_val(out.astype(jnp.float32), self.spec)
         new_ema = ema_update(ema, val)
-        return postprocess_mask(new_ema, self.geo, precision=self.precision), new_ema
+        return postprocess_mask(new_ema, self.geo, precision=self.precision,
+                                u8_exact=self.u8_exact_post), new_ema
 
     def process(self, frame_bgr_u8) -> np.ndarray:
         """Frame (H, W, 3) BGR u8 -> mask (H, W) u8. bs_maskgen_process equivalent."""

@@ -115,3 +115,66 @@ def test_flip_matches_cv2(img):
     np.testing.assert_array_equal(
         np.asarray(im.flip(jnp.asarray(img), horizontal=True, vertical=True)),
         cv2.flip(img, -1))
+
+
+# ---------------------------------------------------------------------------
+# cv2-bit-exact u8 fixed-point resize + blur (strict byte parity mode)
+
+
+@pytest.mark.parametrize("shape", [
+    ((96, 160), (480, 640)),   # meet-lite mask upscale
+    ((33, 33), (480, 640)),    # bodypix coarse mask
+    ((256, 256), (720, 1280)),
+    ((480, 640), (96, 160)),   # downscale
+    ((7, 5), (13, 11)),
+    ((13, 11), (7, 5)),
+    ((1, 4), (3, 8)),          # single-row: vertical border coefficients
+    ((2, 2), (5, 5)),
+    ((5, 7), (5, 7)),          # identity
+])
+def test_resize_u8_exact_vs_cv2(rng, shape):
+    from backscrub_tpu.pipeline.image import resize_bilinear_u8_exact
+    (ih, iw), (oh, ow) = shape
+    src = rng.integers(0, 256, (ih, iw), np.uint8)
+    ref = cv2.resize(src, (ow, oh), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_bilinear_u8_exact(
+        jnp.asarray(src)[..., None], oh, ow))[..., 0]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_u8_exact_multichannel(rng):
+    from backscrub_tpu.pipeline.image import resize_bilinear_u8_exact
+    src = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    ref = cv2.resize(src, (160, 96), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_bilinear_u8_exact(jnp.asarray(src), 96, 160))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_box_blur_u8_exact_vs_cv2(rng):
+    from backscrub_tpu.pipeline.image import box_blur_u8_exact
+    for k in (3, 5):
+        src = rng.integers(0, 256, (37, 53), np.uint8)
+        ref = cv2.blur(src, (k, k))
+        got = np.asarray(box_blur_u8_exact(
+            jnp.asarray(src)[..., None], k))[..., 0]
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_postprocess_u8_exact_matches_reference_binary_path(rng):
+    """postprocess_mask(u8_exact=True) == the reference's literal cv2 u8
+    pipeline (resize u8 -> blur u8, lib/libbackscrub.cc:366-371) byte for
+    byte, on a random EMA mask."""
+    from backscrub_tpu.pipeline.geometry import compute_roi
+    from backscrub_tpu.pipeline.maskgen import postprocess_mask
+
+    geo = compute_roi(640, 480, 160, 96, 160, 96)
+    ema = rng.integers(0, 256, (96, 160), np.uint8)
+    got = np.asarray(postprocess_mask(jnp.asarray(ema), geo, u8_exact=True))
+
+    o, r = geo.out_roi, geo.roi
+    small = ema[o.y:o.y + o.h, o.x:o.x + o.w]
+    up = cv2.resize(small, (r.w, r.h), interpolation=cv2.INTER_LINEAR)
+    up = cv2.blur(up, (5, 5))
+    want = np.full((480, 640), 255, np.uint8)
+    want[r.y:r.y + r.h, r.x:r.x + r.w] = up
+    np.testing.assert_array_equal(got, want)

@@ -277,3 +277,17 @@ def test_mask_iou_vs_reference(name):
         ours = mg.process(f)
     score = iou(ours < 128, golden < 128)
     assert score >= 0.99, f"mask IoU {score:.4f} < 0.99 for {name}"
+
+
+def test_maskgen_u8_exact_post_parity():
+    """u8-exact post mode keeps golden parity (and only perturbs the float
+    path by the +-1 cv2 u8/f32 quantization difference)."""
+    path = model_path("segm_lite_v681.tflite")
+    frame = cv2.imread(SCREENSHOT)
+    frame = cv2.resize(frame, (640, 480))
+    spec = spec_for_model(path)
+    golden = reference_maskgen(path, [frame] * 4, 640, 480, spec)
+    mg = MaskGen(path, 640, 480, u8_exact_post=True)
+    for _ in range(4):
+        ours = np.asarray(mg.process(frame))
+    assert iou(ours < 128, golden < 128) >= 0.99
