@@ -51,6 +51,8 @@ usage:
 --int8        Quantize conv/dense weights to per-channel int8
 --no-bilateral  Skip the bilateral prefilter
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
+--staging     Route host<->device transfers through pinned-host staging
+              (DMA-eligible on PCIe-attached TPUs; bit-identical output)
 """
 
 
@@ -60,7 +62,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                background=None, model="selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
                blur_strength=0, flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
-               frames=0, bf16=False, int8=False, bilateral=True, correct_colors=False)
+               frames=0, bf16=False, int8=False, bilateral=True,
+               correct_colors=False, staging=False)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -130,6 +133,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["bilateral"] = False
         elif a == "--correct-colors":
             cfg["correct_colors"] = True
+        elif a == "--staging":
+            cfg["staging"] = True
         else:
             raise ValueError(f"unknown argument {a!r}")
         i += 1
@@ -228,7 +233,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("debug: no display available, HUD disabled", file=sys.stderr)
 
     from .runtime.serving import ServingLoop
-    loop = ServingLoop(pipe, depth=3)
+    loop = ServingLoop(pipe, depth=3, staging=cfg["staging"])
+    if cfg["staging"] and loop.staging is not None and not loop.staging.supported:
+        print("staging: pinned_host memory not available on this backend, "
+              "using plain transfers", file=sys.stderr)
 
     n = 0
     try:

@@ -177,3 +177,12 @@ def test_fourcc():
     from backscrub_tpu.io.v4l2 import fourcc
     assert fourcc("YUYV") == 0x56595559
     assert fourcc("MJPG") == 0x47504A4D
+
+
+def test_cli_staging_flag_runs():
+    """--staging routes the serving loop through pinned-host staging and
+    produces a normal run (output identity is covered by test_staging)."""
+    from backscrub_tpu.cli import main
+    rc = main(["-c", "test:", "-v", "null:", "--frames", "4", "--staging",
+               "--cg", "64x48", "-m", "segm_lite_v681.tflite"])
+    assert rc == 0
