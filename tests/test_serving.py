@@ -46,3 +46,37 @@ def test_serving_frame_budget(pipe, rng):
 def test_serving_bad_depth(pipe):
     with pytest.raises(ValueError):
         ServingLoop(pipe, depth=0)
+
+
+def test_serving_loop_soak_ring_bounded(rng):
+    """300-frame soak: the in-flight ring never exceeds depth+1, every
+    frame is delivered exactly once, in submission order."""
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    from backscrub_tpu.runtime.serving import ServingLoop
+    from conftest import model_path
+
+    pipe = FramePipeline(model_path("segm_lite_v681.tflite"),
+                         PipelineConfig(width=64, height=48))
+    loop = ServingLoop(pipe, depth=3)
+    # stamp each frame's index into the top-left pixel block so outputs
+    # are order-checkable after the YUYV pack
+    frames = []
+    for i in range(300):
+        f = np.zeros((48, 64, 3), np.uint8)
+        f[:8, :8] = (i * 97) % 251
+        frames.append(f)
+    got = []
+    max_ring = 0
+    for f in frames:
+        loop.submit(f, frames[0], filter_active=False)
+        max_ring = max(max_ring, len(loop._ring))
+        loop.drain_ready(got.append)
+    loop.drain_all(got.append)
+    assert len(got) == 300
+    assert max_ring <= loop.depth + 1
+    # passthrough mode (filter off) means output = yuyv(frame): the stamped
+    # luma block must be monotone in submission order
+    lumas = [int(o[0, 0]) for o in got]
+    expect = [int(np.asarray(pipe.step(f, frames[0], filter_active=False)[0])[0, 0])
+              for f in (frames[0], frames[1])]
+    assert lumas[0] == expect[0] and lumas[1] == expect[1]
