@@ -79,3 +79,85 @@ def test_multistream_requires_divisible():
     with pytest.raises(ValueError):
         MultiStreamPipeline(path, PipelineConfig(width=64, height=48),
                             mesh.shape["data"] + 1, mesh)
+
+
+@needs_8
+def test_multistream_server_pull_bit_exact(rng):
+    """MultiStreamServer (pull mode): each stream's delivered outputs are
+    bit-identical to running that stream alone, including streams that end
+    early (their EOF must not repeat or shift later deliveries)."""
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    lengths = [2, 5, 3, 5][:S]
+    streams = [[rng.integers(0, 256, (48, 64, 3), np.uint8)
+                for _ in range(n)] for n in lengths]
+    bgs = rng.integers(0, 256, (S, 48, 64, 3), np.uint8)
+
+    iters = [iter(fs) for fs in streams]
+    sources = [lambda it=it: next(it, None) for it in iters]
+    got = [[] for _ in range(S)]
+    sinks = [got[s].append for s in range(S)]
+
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    server = MultiStreamServer(ms, sources, sinks, backgrounds=bgs)
+    ticks = server.run()
+    assert ticks == max(lengths)
+
+    for s in range(S):
+        assert len(got[s]) == lengths[s]
+        single = FramePipeline(path, cfg)
+        for i, f in enumerate(streams[s]):
+            out, _ = single.step(f, bgs[s])
+            np.testing.assert_array_equal(got[s][i], np.asarray(out))
+
+
+@needs_8
+def test_multistream_server_threaded_liveness(rng):
+    """Threaded mode: reader threads with latest-frame-wins; the server
+    terminates when every source ends and every live stream got output."""
+    import time
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+
+    def make_source(n):
+        state = {"left": n}
+        def src():
+            if state["left"] == 0:
+                return None
+            state["left"] -= 1
+            time.sleep(0.002)
+            return np.full((48, 64, 3), state["left"] * 13 % 251, np.uint8)
+        return src
+
+    counts = [0] * S
+    def make_sink(s):
+        def sink(_out):
+            counts[s] += 1
+        return sink
+
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    server = MultiStreamServer(ms, [make_source(6) for _ in range(S)],
+                               [make_sink(s) for s in range(S)],
+                               threaded=True)
+    ticks = server.run(frames=200)
+    assert ticks >= 1
+    assert all(c >= 1 for c in counts)
+
+
+@needs_8
+def test_multistream_server_validates_counts():
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+    path = model_path("segm_lite_v681.tflite")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, PipelineConfig(width=64, height=48), S, mesh)
+    with pytest.raises(ValueError):
+        MultiStreamServer(ms, [lambda: None] * (S - 1), [print] * S)
