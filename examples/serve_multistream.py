@@ -29,8 +29,16 @@ def main():
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
     import jax
-    if len(jax.devices()) < 2 and jax.devices()[0].platform == "cpu":
-        jax.config.update("jax_num_cpu_devices", 8)
+    # CPU requested via env (the sitecustomize in this image overrides
+    # JAX_PLATFORMS, so apply it post-import like tests/conftest.py) ->
+    # give the mesh 8 virtual devices; must run before the backend exists
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", "")
+                 + os.environ.get("BACKSCRUB_TPU_PLATFORM", "")):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+        except Exception:
+            pass
 
     from backscrub_tpu.parallel.mesh import make_mesh
     from backscrub_tpu.parallel.streams import MultiStreamPipeline
@@ -61,6 +69,19 @@ def main():
     dt = time.perf_counter() - t0
     print(f"{n_frames} batched steps: {n_frames * n_streams / dt:.1f} "
           f"aggregate frames/s ({n_frames / dt:.1f} steps/s)")
+
+    # The production shape: N live sources glued to the batched dispatch by
+    # MultiStreamServer (per-stream EMA, streams may end at different times).
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+    lengths = [10 + (s % 3) for s in range(n_streams)]
+    iters = [iter([frames[s]] * lengths[s]) for s in range(n_streams)]
+    sources = [lambda it=it: next(it, None) for it in iters]
+    counts = [0] * n_streams
+    sinks = [lambda _o, s=s: counts.__setitem__(s, counts[s] + 1)
+             for s in range(n_streams)]
+    server = MultiStreamServer(ms, sources, sinks, backgrounds=bgs)
+    ticks = server.run()
+    print(f"MultiStreamServer: {ticks} ticks, per-stream deliveries {counts}")
 
 
 if __name__ == "__main__":
