@@ -36,6 +36,19 @@ class TrainConfig:
     spatial_shard: bool = False   # shard image H over the "model" axis too (sp)
 
 
+def person_probability(out, spec: ModelSpec):
+    """Model head output -> per-pixel person probability in [0, 1]."""
+    if spec.decode == "two_channel":
+        return jax.nn.softmax(out, axis=-1)[..., 1]
+    if spec.decode == "argmax_not_background":
+        return 1.0 - jax.nn.softmax(out, axis=-1)[..., 0]
+    if spec.decode == "argmax_person":
+        return jax.nn.softmax(out, axis=-1)[..., spec.person_class]
+    if spec.decode == "threshold":
+        return out[..., 0]
+    raise ValueError(f"no probability decode for rule {spec.decode!r}")
+
+
 def segmentation_loss(spec: ModelSpec):
     """Loss matched to each model family's output head.
 
@@ -102,6 +115,16 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        def eval_step(params, x, y):
+            out = model.raw_fn(params, x).astype(jnp.float32)
+            loss = loss_core(out, y)
+            pred = person_probability(out, spec) > 0.5
+            tgt = y > 0.5
+            inter = jnp.sum(pred & tgt)
+            union = jnp.sum(pred | tgt)
+            iou = jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1))
+            return loss, iou
+
         if mesh is not None:
             pspec = {k: NamedSharding(mesh, param_sharding_spec(k, v, mesh))
                      for k, v in model.params.items()}
@@ -115,9 +138,11 @@ class Trainer:
                 out_shardings=(pspec, None, None),
                 donate_argnums=(0, 1),
             )
+            self._eval = jax.jit(eval_step, in_shardings=(pspec, xs, ys))
             self.x_sharding, self.y_sharding = xs, ys
         else:
             self._step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval = jax.jit(eval_step)
             self.param_shardings = None
             self.x_sharding = self.y_sharding = None
 
@@ -139,3 +164,13 @@ class Trainer:
         self.params, self.opt_state, loss = self._step(self.params, self.opt_state,
                                                        jnp.asarray(x), jnp.asarray(y))
         return float(loss)
+
+    def evaluate(self, x, y) -> dict:
+        """Validation metrics on a batch: {'loss', 'iou'} (mask IoU at the
+        0.5 probability threshold, the train-time analog of the golden-test
+        IoU gate)."""
+        if self.x_sharding is not None:
+            x = jax.device_put(jnp.asarray(x), self.x_sharding)
+            y = jax.device_put(jnp.asarray(y), self.y_sharding)
+        loss, iou = self._eval(self.params, jnp.asarray(x), jnp.asarray(y))
+        return {"loss": float(loss), "iou": float(iou)}

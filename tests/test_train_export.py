@@ -116,3 +116,28 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
 
 import jax  # noqa: E402  (used in test_checkpoint_roundtrip)
+
+
+def test_trainer_evaluate_metrics():
+    """evaluate() returns loss+IoU; IoU rises as training fits a target."""
+    import jax.numpy as jnp
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.train.trainer import Trainer, TrainConfig
+
+    path = model_path("segm_lite_v681.tflite")
+    model = load_model(path)
+    spec = spec_for_model(path)
+    rng = np.random.default_rng(5)
+    x = rng.random((2, 96, 160, 3), np.float32)
+    y = np.zeros((2, 96, 160), np.float32)
+    y[:, 30:70, 40:120] = 1.0
+
+    tr = Trainer(model, spec, config=TrainConfig(learning_rate=3e-3))
+    before = tr.evaluate(x, y)
+    assert set(before) == {"loss", "iou"} and 0.0 <= before["iou"] <= 1.0
+    for _ in range(8):
+        tr.step(x, y)
+    after = tr.evaluate(x, y)
+    assert after["loss"] < before["loss"]
+    assert after["iou"] >= before["iou"]
