@@ -64,6 +64,10 @@ class MultiStreamPipeline:
                                      (S,) + self.pipe.green.shape),
                     self._batch_sharding)
             b = self._green_batch
+        elif isinstance(backgrounds, jax.Array):
+            # already device-resident (e.g. MultiStreamServer's one-time
+            # static upload): re-putting with the same sharding is a no-op
+            b = jax.device_put(backgrounds, self._batch_sharding)
         else:
             b = jax.device_put(jnp.asarray(np.ascontiguousarray(backgrounds)),
                                self._batch_sharding)

@@ -4,8 +4,11 @@ The reference serves one camera per process (app/deepseg.cc main loop);
 the TPU scaling unit is a stream batch (SURVEY.md §2.4).  This module is
 the orchestration between host I/O and ``parallel.streams
 .MultiStreamPipeline``: it gathers one frame per stream, stacks them into
-the (S, H, W, 3) batch, runs the fused program in a single dispatch, and
-fans the (S, H, 2W) YUYV results back out to per-stream sinks.
+the (S, H, W, 3) batch (or (S, H, 2W) for raw-YUYV ingest pipelines),
+runs the fused program in a single dispatch, and fans the per-stream
+results back out to sinks through an async D2H ring — transfers overlap
+the next gather/dispatch instead of serializing with it (same pattern as
+``runtime.serving.ServingLoop``).
 
 Two gather modes:
 
@@ -18,20 +21,28 @@ Two gather modes:
   (app/deepseg.cc:272-277, app/background.cc:29-104) applied per stream.
   Right for live cameras: a stalled camera never blocks the batch; its
   stream re-serves the last frame (EMA keeps converging, like the
-  reference's behavior when the mask thread lags the camera).
+  reference's behavior when the mask thread lags the camera).  A stream
+  that has never produced a frame gets NO deliveries (its batch slot runs
+  on a placeholder until the first real frame; the ~3-frame EMA washes
+  the placeholder out once frames arrive).
 
 A stream whose source ends (returns None) is marked done and its last
 frame keeps riding the batch (the dispatch shape is static); its sink
-stops receiving.  The server stops when every stream is done or the frame
-budget is reached.
+stops receiving.  The server stops when every stream is done, the frame
+budget is reached, or — threaded mode — no stream produces a frame for
+``stall_timeout`` seconds.
 """
 
 from __future__ import annotations
 
+import collections
 import threading
+import time
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
+
+import jax
 
 from ..parallel.streams import MultiStreamPipeline
 
@@ -71,30 +82,48 @@ class _Reader:
 class MultiStreamServer:
     """Serve S streams through one MultiStreamPipeline.
 
-    ``sources``: S callables -> BGR frame (H, W, 3) u8 or None at EOF.
+    ``sources``: S callables -> frame or None at EOF.  Frame shape follows
+    the pipeline's ``input_format``: (H, W, 3) BGR u8, or (H, 2W) raw YUYV
+    bytes for device-side ingest.
     ``sinks``:   S callables receiving the packed per-stream output.
     ``backgrounds``: optional callable -> (S, H, W, 3) u8 batch per tick,
-    or a static (S, H, W, 3) array; None = green screen.
+    or a static (S, H, W, 3) array (uploaded to the device ONCE); None =
+    green screen.
+    ``depth``: in-flight result ring depth (transfer/compute overlap).
     """
 
     def __init__(self, ms: MultiStreamPipeline,
                  sources: Sequence[Callable[[], Optional[np.ndarray]]],
                  sinks: Sequence[Callable[[np.ndarray], None]],
-                 backgrounds=None, threaded: bool = False):
+                 backgrounds=None, threaded: bool = False, depth: int = 2,
+                 stall_timeout: Optional[float] = None):
         if len(sources) != ms.n_streams or len(sinks) != ms.n_streams:
             raise ValueError(
                 f"need exactly {ms.n_streams} sources and sinks "
                 f"(got {len(sources)}/{len(sinks)})")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
         self.ms = ms
         self.sources = list(sources)
         self.sinks = list(sinks)
-        self.backgrounds = backgrounds
         self.threaded = threaded
+        self.depth = depth
+        self.stall_timeout = stall_timeout
         cfg = ms.pipe.cfg
-        self._shape = (cfg.height, cfg.width, 3)
+        if cfg.input_format == "yuyv":
+            self._shape = (cfg.height, 2 * cfg.width)
+        else:
+            self._shape = (cfg.height, cfg.width, 3)
         self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)
         self._live = [True] * ms.n_streams
+        self._ever = [False] * ms.n_streams  # produced at least one frame
         self._readers: Optional[List[_Reader]] = None
+        # static backgrounds upload once; callables re-evaluate per tick
+        self.backgrounds = backgrounds
+        if backgrounds is not None and not callable(backgrounds):
+            self.backgrounds = jax.device_put(np.asarray(backgrounds),
+                                              ms._batch_sharding)
+        self._ring: collections.deque = collections.deque()
 
     # -- one gather: fill self._frames, return per-stream "fresh" flags ----
     def _gather_pull(self) -> List[bool]:
@@ -111,6 +140,7 @@ class MultiStreamServer:
                     f"stream {s}: frame shape {frame.shape} != {self._shape}")
             self._frames[s] = frame
             fresh[s] = True
+            self._ever[s] = True
         return fresh
 
     def _gather_threaded(self) -> List[bool]:
@@ -124,6 +154,7 @@ class MultiStreamServer:
                 self._frames[s] = latest
                 r._consumed = seq
                 fresh[s] = True
+                self._ever[s] = True
             if done and not fresh[s]:
                 self._live[s] = False
         return fresh
@@ -134,14 +165,31 @@ class MultiStreamServer:
             bgs = bgs()
         return bgs
 
+    # -- async result ring --------------------------------------------------
+    def _submit(self, out, deliver: List[bool]):
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        self._ring.append((out, deliver))
+
+    def _drain(self, force: bool = False):
+        while self._ring and (force or len(self._ring) > self.depth):
+            out, deliver = self._ring.popleft()
+            out_np = np.asarray(out)
+            for s, sink in enumerate(self.sinks):
+                if deliver[s]:
+                    sink(out_np[s])
+
     def run(self, frames: int = 0) -> int:
-        """Serve until every stream ends (or ``frames`` ticks).  Returns the
-        number of batched dispatches."""
+        """Serve until every stream ends (or ``frames`` ticks, or a full
+        stall in threaded mode).  Returns the number of batched dispatches."""
         if self.threaded:
             self._readers = [_Reader(s) for s in self.sources]
             for r in self._readers:
                 r.thread.start()
         ticks = 0
+        last_fresh = time.monotonic()
         try:
             while frames == 0 or ticks < frames:
                 fresh = (self._gather_threaded() if self.threaded
@@ -149,17 +197,27 @@ class MultiStreamServer:
                 if not any(self._live):
                     break
                 if self.threaded and not any(fresh):
-                    continue  # nothing new anywhere yet; spin-gather
+                    # nothing new anywhere: yield instead of burning the core
+                    # (and the GIL the reader threads need)
+                    if (self.stall_timeout is not None and
+                            time.monotonic() - last_fresh > self.stall_timeout):
+                        break
+                    time.sleep(0.001)
+                    continue
+                last_fresh = time.monotonic()
                 out, _masks = self.ms.step(self._frames,
                                            self._background_batch())
-                out_np = np.asarray(out)
-                for s, sink in enumerate(self.sinks):
-                    # deliver to live streams; in pull mode only fresh ones
-                    # (a stream at EOF mid-batch must not repeat its last)
-                    if self._live[s] and (fresh[s] or self.threaded):
-                        sink(out_np[s])
+                # deliver to live streams that have really produced frames;
+                # in pull mode only fresh ones (a stream at EOF mid-batch
+                # must not repeat its last frame)
+                deliver = [self._live[s] and self._ever[s] and
+                           (fresh[s] or self.threaded)
+                           for s in range(self.ms.n_streams)]
+                self._submit(out, deliver)
+                self._drain()
                 ticks += 1
         finally:
+            self._drain(force=True)
             if self._readers is not None:
                 for r in self._readers:
                     r.stop()

@@ -27,6 +27,7 @@ except ImportError:  # pragma: no cover
 from ..graph.executor import CompiledModel
 from ..models.specs import ModelSpec
 from ..parallel.mesh import param_sharding_spec
+from ..pipeline.decode import decode_val
 
 
 @dataclasses.dataclass
@@ -118,7 +119,11 @@ class Trainer:
         def eval_step(params, x, y):
             out = model.raw_fn(params, x).astype(jnp.float32)
             loss = loss_core(out, y)
-            pred = person_probability(out, spec) > 0.5
+            # predicted person set via the DEPLOYED decode rule (0 = person,
+            # pipeline/decode.py), so this IoU measures the mask the serving
+            # pipeline will actually produce — same criterion as the golden
+            # tests, not a generic 0.5 threshold
+            pred = decode_val(out, spec) == 0
             tgt = y > 0.5
             inter = jnp.sum(pred & tgt)
             union = jnp.sum(pred | tgt)

@@ -161,3 +161,91 @@ def test_multistream_server_validates_counts():
     ms = MultiStreamPipeline(path, PipelineConfig(width=64, height=48), S, mesh)
     with pytest.raises(ValueError):
         MultiStreamServer(ms, [lambda: None] * (S - 1), [print] * S)
+
+
+@needs_8
+def test_multistream_server_yuyv_ingest(rng):
+    """The server follows the pipeline's input_format: raw (H, 2W) YUYV
+    frames gather and serve (device-side ingest end-to-end)."""
+    import cv2
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False,
+                         input_format="yuyv")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    bgr = rng.integers(0, 256, (S, 48, 64, 3), np.uint8)
+    yuyv = [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_YUY2).reshape(48, 128)
+            for f in bgr]
+    iters = [iter([yuyv[s]] * 3) for s in range(S)]
+    sources = [lambda it=it: next(it, None) for it in iters]
+    got = [[] for _ in range(S)]
+    server = MultiStreamServer(ms, sources, [g.append for g in got])
+    ticks = server.run()
+    assert ticks == 3
+    assert all(len(g) == 3 for g in got)
+    assert got[0][0].shape == (48, 128)
+
+
+@needs_8
+def test_multistream_server_no_delivery_before_first_frame(rng):
+    """Threaded mode: a stream whose source never produces must get NO
+    fabricated deliveries (its batch slot runs on a placeholder)."""
+    import time
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+
+    def fast_source(n=[4]):
+        if n[0] == 0:
+            return None
+        n[0] -= 1
+        time.sleep(0.002)
+        return rng.integers(0, 256, (48, 64, 3), np.uint8)
+
+    def never_source():
+        time.sleep(0.01)
+        return None  # EOF without ever producing
+
+    sources = [fast_source] + [never_source] * (S - 1)
+    counts = [0] * S
+    sinks = [lambda _o, s=s: counts.__setitem__(s, counts[s] + 1)
+             for s in range(S)]
+    server = MultiStreamServer(ms, sources, sinks, threaded=True,
+                               stall_timeout=5.0)
+    server.run(frames=50)
+    assert counts[0] >= 1
+    assert all(c == 0 for c in counts[1:])
+
+
+@needs_8
+def test_multistream_server_stall_timeout(rng):
+    """Threaded mode with every source stalled (no frames, no EOF) must
+    return once stall_timeout elapses instead of spinning forever."""
+    import time
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+
+    def forever():  # stalled: never yields a frame, never reaches EOF
+        time.sleep(30)
+        return None
+
+    sources = [forever for _ in range(S)]
+    server = MultiStreamServer(ms, sources,
+                               [lambda _o: None for _ in range(S)],
+                               threaded=True, stall_timeout=0.5)
+    t0 = time.monotonic()
+    ticks = server.run()
+    assert ticks == 0
+    assert time.monotonic() - t0 < 10
