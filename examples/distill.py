@@ -94,8 +94,10 @@ def main():
     for i in range(start, steps):
         loss = tr.step(x_student, targets)
     after = agreement(tr.params)
+    metrics = tr.evaluate(x_student, targets)  # decode-rule-exact val IoU
     print(f"step {steps}: loss {loss:.4f}")
-    print(f"teacher-agreement: {before:.1%} -> {after:.1%}")
+    print(f"teacher-agreement: {before:.1%} -> {after:.1%}; "
+          f"val IoU (deployed decode) {metrics['iou']:.3f}")
 
     n = export_params_to_tflite(student_path, student,
                                 {k: np.asarray(v) for k, v in tr.params.items()},
