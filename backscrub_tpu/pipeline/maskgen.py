@@ -112,7 +112,7 @@ class MaskGen:
                  precision=jax.lax.Precision.HIGHEST,
                  use_bilateral: bool = True,
                  fused: bool = True,
-                 u8_exact_post: bool = False,
+                 u8_exact_post: Optional[bool] = None,
                  quantize=None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
@@ -137,6 +137,12 @@ class MaskGen:
         self.precision = precision
         self.use_bilateral = use_bilateral
         self.fused = fused
+        if u8_exact_post is None:
+            # env default so fixed-signature entry points (the C ABI in
+            # native/bs_capi.cc) can opt into byte-exact post stages too
+            import os
+            u8_exact_post = os.environ.get(
+                "BACKSCRUB_U8_EXACT", "").lower() in ("1", "true", "on")
         self.u8_exact_post = u8_exact_post
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)

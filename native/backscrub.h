@@ -25,6 +25,9 @@ const char *bs_tensorflow_version(void);
 
 /* Create a mask generation context.
  * modelname: .tflite path or name resolvable via BACKSCRUB_PATH.
+ * Env knobs: BACKSCRUB_TPU_PLATFORM=cpu|tpu selects the backend;
+ * BACKSCRUB_U8_EXACT=1 makes the mask post stages byte-exact with the
+ * reference binary's OpenCV u8 fixed-point path.
  * threads:   accepted for compatibility; XLA manages device compute.
  * width/height: camera frame geometry.
  * Callbacks (nullable): ondebug(msg), onprep/oninfer/onmask stage hooks

@@ -291,3 +291,15 @@ def test_maskgen_u8_exact_post_parity():
     for _ in range(4):
         ours = np.asarray(mg.process(frame))
     assert iou(ours < 128, golden < 128) >= 0.99
+
+
+def test_u8_exact_env_default(monkeypatch):
+    monkeypatch.setenv("BACKSCRUB_U8_EXACT", "1")
+    mg = MaskGen(model_path("segm_lite_v681.tflite"), 64, 48)
+    assert mg.u8_exact_post is True
+    monkeypatch.delenv("BACKSCRUB_U8_EXACT")
+    mg2 = MaskGen(model_path("segm_lite_v681.tflite"), 64, 48)
+    assert mg2.u8_exact_post is False
+    mg3 = MaskGen(model_path("segm_lite_v681.tflite"), 64, 48,
+                  u8_exact_post=True)
+    assert mg3.u8_exact_post is True
