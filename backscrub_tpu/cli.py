@@ -53,6 +53,8 @@ usage:
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
 --staging     Route host<->device transfers through pinned-host staging
               (DMA-eligible on PCIe-attached TPUs; bit-identical output)
+--sink-format yuyv|nv12|i420   Virtual-camera pixel format (default yuyv;
+              4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
 """
 
 
@@ -63,7 +65,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                blur_strength=0, flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
-               correct_colors=False, staging=False)
+               correct_colors=False, staging=False, sink_format="yuyv")
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -135,6 +137,11 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["correct_colors"] = True
         elif a == "--staging":
             cfg["staging"] = True
+        elif a == "--sink-format":
+            fmt = val().lower()
+            if fmt not in ("yuyv", "nv12", "i420"):
+                raise ValueError(f"--sink-format must be yuyv|nv12|i420, got {fmt!r}")
+            cfg["sink_format"] = fmt
         else:
             raise ValueError(f"unknown argument {a!r}")
         i += 1
@@ -203,6 +210,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
         input_format="yuyv" if raw_ingest else "bgr",
+        output_format=cfg["sink_format"],
     )
     pipe = FramePipeline(
         model_path, pcfg,
@@ -222,7 +230,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg["background"] and background is None:
         print("Warning: couldn't load background, using green", file=sys.stderr)
 
-    sink = open_sink(cfg["vcam"], vw, vh)
+    sink = open_sink(cfg["vcam"], vw, vh, out_format=cfg["sink_format"])
     timer = StageTimer()
 
     # debug window + runtime toggles (app/deepseg.cc:724-803)
@@ -259,8 +267,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 out_np = np.asarray(out)
                 sink.write_yuyv(out_np)
                 timer.mark("sink")
-                test = cv2.cvtColor(out_np.reshape(vh, vw, 2),
-                                    cv2.COLOR_YUV2BGR_YUY2)
+                if cfg["sink_format"] == "yuyv":
+                    test = cv2.cvtColor(out_np.reshape(vh, vw, 2),
+                                        cv2.COLOR_YUV2BGR_YUY2)
+                else:
+                    code = (cv2.COLOR_YUV2BGR_NV12 if cfg["sink_format"] == "nv12"
+                            else cv2.COLOR_YUV2BGR_I420)
+                    test = cv2.cvtColor(out_np.reshape(vh * 3 // 2, vw), code)
                 view = compose_debug_view(
                     test, state, mask=np.asarray(mask),
                     bg_thumb=background.thumbnail() if background else None,

@@ -162,9 +162,11 @@ class FrameSink:
 
 
 class LoopbackFrameSink(FrameSink):
-    def __init__(self, device: str, width: int, height: int):
+    def __init__(self, device: str, width: int, height: int,
+                 out_format: str = "yuyv"):
         from .v4l2 import LoopbackSink
-        self.sink = LoopbackSink(device, width, height)
+        fourcc = {"yuyv": "YUYV", "nv12": "NV12", "i420": "YU12"}[out_format]
+        self.sink = LoopbackSink(device, width, height, pixel_format=fourcc)
 
     def write_yuyv(self, yuyv_bytes):
         self.sink.write(yuyv_bytes)
@@ -183,9 +185,11 @@ class LoopbackFrameSink(FrameSink):
 class FileFrameSink(FrameSink):
     """.yuv -> raw YUYV append; video extensions -> OpenCV VideoWriter."""
 
-    def __init__(self, path: str, width: int, height: int, fps: float = 30.0):
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0,
+                 out_format: str = "yuyv"):
         self.path = path
         self.width, self.height = width, height
+        self.out_format = out_format
         if path.endswith((".yuv", ".raw")):
             self._f = open(path, "wb")
             self._writer = None
@@ -199,10 +203,20 @@ class FileFrameSink(FrameSink):
     def write_yuyv(self, yuyv_bytes):
         if self._f is not None:
             self._f.write(np.ascontiguousarray(yuyv_bytes, np.uint8).tobytes())
-        else:
-            yuyv = np.asarray(yuyv_bytes, np.uint8).reshape(self.height, self.width, 2)
+            return
+        buf = np.asarray(yuyv_bytes, np.uint8)
+        if self.out_format == "yuyv":
+            yuyv = buf.reshape(self.height, self.width, 2)
             bgr = self._cv2.cvtColor(yuyv, self._cv2.COLOR_YUV2BGR_YUY2)
-            self._writer.write(bgr)
+        elif self.out_format == "nv12":
+            bgr = self._cv2.cvtColor(buf.reshape(self.height * 3 // 2, self.width),
+                                     self._cv2.COLOR_YUV2BGR_NV12)
+        elif self.out_format == "i420":
+            bgr = self._cv2.cvtColor(buf.reshape(self.height * 3 // 2, self.width),
+                                     self._cv2.COLOR_YUV2BGR_I420)
+        else:
+            raise ValueError(f"unknown sink format {self.out_format!r}")
+        self._writer.write(bgr)
 
     def write_bgr(self, bgr):
         if self._writer is not None:
@@ -228,11 +242,12 @@ class NullFrameSink(FrameSink):
         self.frames += 1
 
 
-def open_sink(uri: str, width: int, height: int, fps: float = 30.0) -> FrameSink:
+def open_sink(uri: str, width: int, height: int, fps: float = 30.0,
+              out_format: str = "yuyv") -> FrameSink:
     if uri.startswith("null:"):
         return NullFrameSink()
     if uri.startswith("/dev/"):
-        return LoopbackFrameSink(uri, width, height)
+        return LoopbackFrameSink(uri, width, height, out_format=out_format)
     if uri.startswith("file:"):
         uri = uri[5:]
-    return FileFrameSink(uri, width, height, fps)
+    return FileFrameSink(uri, width, height, fps, out_format=out_format)

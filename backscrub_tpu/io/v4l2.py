@@ -43,6 +43,9 @@ def load_bsio() -> ctypes.CDLL:
     lib = ctypes.CDLL(path)
     lib.bsio_loopback_init.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.bsio_loopback_init.restype = ctypes.c_int
+    lib.bsio_loopback_init_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_uint32]
+    lib.bsio_loopback_init_fmt.restype = ctypes.c_int
     lib.bsio_loopback_write.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
     lib.bsio_loopback_write.restype = ctypes.c_int
     lib.bsio_loopback_free.argtypes = [ctypes.c_int]
@@ -72,14 +75,28 @@ def fourcc(code: str) -> int:
             | (ord(code[3]) << 24))
 
 
-class LoopbackSink:
-    """v4l2loopback writer: loopback_init/free + framed write()s."""
+# bytes per pixel numerator/denominator per supported output format
+_FORMAT_BYTES = {"YUYV": (2, 1), "NV12": (3, 2), "YU12": (3, 2)}
 
-    def __init__(self, device: str, width: int, height: int):
+
+class LoopbackSink:
+    """v4l2loopback writer: loopback_init/free + framed write()s.
+
+    ``pixel_format``: 'YUYV' (default, 4:2:2), 'NV12' or 'YU12' (I420,
+    both 4:2:0, 1.5 bytes/px)."""
+
+    def __init__(self, device: str, width: int, height: int,
+                 pixel_format: str = "YUYV"):
         self.lib = load_bsio()
         self.width, self.height = width, height
-        self.framesize = width * height * 2  # YUYV = 2 bytes/px
-        fd = self.lib.bsio_loopback_init(device.encode(), width, height)
+        try:
+            num, den = _FORMAT_BYTES[pixel_format.upper()]
+        except KeyError:
+            raise ValueError(f"unsupported loopback format {pixel_format!r}; "
+                             f"supported: {sorted(_FORMAT_BYTES)}") from None
+        self.framesize = width * height * num // den
+        fd = self.lib.bsio_loopback_init_fmt(device.encode(), width, height,
+                                             fourcc(pixel_format))
         if fd < 0:
             raise OSError(-fd, f"loopback_init({device}) failed: {os.strerror(-fd)}")
         self.fd = fd

@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from .decode import decode_val, ema_update
-from .image import (alpha_blend_u8, flip, gaussian_blur, resize_bilinear,
-                    rgb_to_yuyv, yuyv_to_rgb_u8)
+from .image import (alpha_blend_u8, bgr_to_i420, bgr_to_nv12, flip,
+                    gaussian_blur, resize_bilinear, rgb_to_yuyv,
+                    yuyv_to_rgb_u8)
 from .maskgen import MaskGen, postprocess_mask, preprocess
 
 
@@ -39,7 +40,10 @@ class PipelineConfig:
     use_bilateral: bool = True
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
-    output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink)
+    output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
+                                     # "nv12" (Y + interleaved UV rows,
+                                     # (3H/2, W)) | "i420" (planar flat
+                                     # bytes) — BT.601 4:2:0, cv2-bit-exact
     input_format: str = "bgr"        # "bgr" | "yuyv": raw-camera device ingest
                                      # (YUYV->RGB decode on device, 1.5x less
                                      # host->device traffic; BASELINE "frame
@@ -65,6 +69,14 @@ class FramePipeline:
                     raise ValueError(
                         f"{label}={w}: YUYV output needs an even width "
                         "(chroma is shared per pixel pair)")
+        elif config.output_format in ("nv12", "i420"):
+            for label, a, b in [("capture", config.width, config.height),
+                                ("output", config.out_width or config.width,
+                                 config.out_height or config.height)]:
+                if a % 2 or b % 2:
+                    raise ValueError(
+                        f"{label} geometry {a}x{b}: 4:2:0 output "
+                        f"({config.output_format}) needs even width and height")
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,
@@ -114,6 +126,10 @@ class FramePipeline:
                     0, 255).astype(jnp.uint8)
             if cfg.output_format == "bgr":
                 return comp, mask, new_ema
+            if cfg.output_format == "nv12":
+                return bgr_to_nv12(comp), mask, new_ema
+            if cfg.output_format == "i420":
+                return bgr_to_i420(comp), mask, new_ema
             src = comp[..., ::-1] if cfg.correct_colors else comp
             yuyv = rgb_to_yuyv(src, chroma_order=cfg.chroma_order)
             # flatten to (..., H, 2W) raw bytes: the exact v4l2 write buffer,

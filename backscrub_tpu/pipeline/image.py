@@ -281,6 +281,58 @@ def rgb_to_yuyv(rgb_u8, chroma_order: str = "reference"):
     return quad.reshape(quad.shape[:-2] + (w, 2)).astype(jnp.uint8)
 
 
+# --- 4:2:0 packs (NV12 / I420): what most camera consumers downstream of a
+# virtual webcam negotiate when YUYV (4:2:2) isn't offered.  OpenCV ITUR
+# BT.601 video-range encode constants (color_yuv.simd ITUR_BT_601_*,
+# shift 20); chroma is sampled at the TOP-LEFT pixel of each 2x2 block,
+# matching cv2.cvtColor(COLOR_BGR2YUV_I420) bit-exactly (tested).
+
+_ENC_CRY, _ENC_CGY, _ENC_CBY = 269484, 528482, 102760
+_ENC_CRU, _ENC_CGU, _ENC_CBU = -155188, -305135, 460324
+_ENC_CGV, _ENC_CBV = -385875, -74448
+_ENC_SHIFT = 20
+
+
+def _bt601_yuv420(bgr_u8):
+    """BGR u8 -> (Y (...,H,W), U (...,H/2,W/2), V (...,H/2,W/2)) u8."""
+    p = bgr_u8.astype(jnp.int32)
+    b, g, r = p[..., 0], p[..., 1], p[..., 2]
+    half = 1 << (_ENC_SHIFT - 1)
+    y = (r * _ENC_CRY + g * _ENC_CGY + b * _ENC_CBY
+         + half + (16 << _ENC_SHIFT)) >> _ENC_SHIFT
+    rs, gs, bs = (c[..., 0::2, 0::2] for c in (r, g, b))
+    u = (rs * _ENC_CRU + gs * _ENC_CGU + bs * _ENC_CBU
+         + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT
+    v = (rs * _ENC_CBU + gs * _ENC_CGV + bs * _ENC_CBV
+         + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT
+    clip = lambda x: jnp.clip(x, 0, 255).astype(jnp.uint8)
+    return clip(y), clip(u), clip(v)
+
+
+def bgr_to_nv12(bgr_u8):
+    """BGR u8 (..., H, W, 3) -> NV12 (..., 3H/2, W) u8: Y plane then
+    interleaved UV rows.  H and W must be even."""
+    h, w = bgr_u8.shape[-3], bgr_u8.shape[-2]
+    if h % 2 or w % 2:
+        raise ValueError(f"NV12 needs even geometry, got {w}x{h}")
+    y, u, v = _bt601_yuv420(bgr_u8)
+    uv = jnp.stack([u, v], axis=-1).reshape(u.shape[:-2] + (h // 2, w))
+    return jnp.concatenate([y, uv], axis=-2)
+
+
+def bgr_to_i420(bgr_u8):
+    """BGR u8 (..., H, W, 3) -> I420 flat bytes (..., 3*H*W/2): planar
+    Y then U then V, bit-exact with cv2.cvtColor(COLOR_BGR2YUV_I420)."""
+    h, w = bgr_u8.shape[-3], bgr_u8.shape[-2]
+    if h % 2 or w % 2:
+        raise ValueError(f"I420 needs even geometry, got {w}x{h}")
+    y, u, v = _bt601_yuv420(bgr_u8)
+    lead = y.shape[:-2]
+    return jnp.concatenate([y.reshape(lead + (h * w,)),
+                            u.reshape(lead + (h * w // 4,)),
+                            v.reshape(lead + (h * w // 4,))], axis=-1)
+
+
 # OpenCV ITUR_BT_601 video-range constants (color_yuv: YUV2RGB_YUY2 path),
 # verified bit-exact against cv2 in tests.
 _BT601_CY, _BT601_CUB, _BT601_CUG = 1220542, 2116026, -409993

@@ -30,9 +30,11 @@ extern "C" {
 // ---------------------------------------------------------------------------
 // v4l2loopback sink (videoio/loopback.cc equivalent)
 
-// Open the loopback device, set YUYV output format (2 bytes/px), STREAMON.
+// Open the loopback device with an explicit pixel format (fourcc as a
+// little-endian u32, e.g. 'YUYV', 'NV12', 'YU12'/I420), STREAMON.
 // Returns fd >= 0, or -errno.
-int bsio_loopback_init(const char *device, int width, int height) {
+int bsio_loopback_init_fmt(const char *device, int width, int height,
+                           uint32_t fourcc) {
 #if BSIO_HAVE_V4L2
   int fd = open(device, O_RDWR | O_CLOEXEC);
   if (fd < 0) return -errno;
@@ -43,15 +45,31 @@ int bsio_loopback_init(const char *device, int width, int height) {
     int e = errno; close(fd); return -e;
   }
 
+  uint32_t bytesperline, sizeimage;
+  switch (fourcc) {
+    case V4L2_PIX_FMT_YUYV:
+      bytesperline = width * 2;
+      sizeimage = width * height * 2;
+      break;
+    case V4L2_PIX_FMT_NV12:
+    case V4L2_PIX_FMT_YUV420:  // 'YU12' = I420
+      bytesperline = width;    // luma plane stride; planes are contiguous
+      sizeimage = width * height * 3 / 2;
+      break;
+    default:
+      close(fd);
+      return -EINVAL;
+  }
+
   struct v4l2_format fmt;
   std::memset(&fmt, 0, sizeof(fmt));
   fmt.type = V4L2_BUF_TYPE_VIDEO_OUTPUT;
   fmt.fmt.pix.width = width;
   fmt.fmt.pix.height = height;
-  fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_YUYV;
+  fmt.fmt.pix.pixelformat = fourcc;
   fmt.fmt.pix.field = V4L2_FIELD_NONE;
-  fmt.fmt.pix.bytesperline = width * 2;
-  fmt.fmt.pix.sizeimage = width * height * 2;
+  fmt.fmt.pix.bytesperline = bytesperline;
+  fmt.fmt.pix.sizeimage = sizeimage;
   fmt.fmt.pix.colorspace = V4L2_COLORSPACE_SRGB;
   if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) {
     int e = errno; close(fd); return -e;
@@ -62,6 +80,17 @@ int bsio_loopback_init(const char *device, int width, int height) {
   // the same way a plain write()-based sink would.
   ioctl(fd, VIDIOC_STREAMON, &type);
   return fd;
+#else
+  (void)device; (void)width; (void)height; (void)fourcc;
+  return -ENOSYS;
+#endif
+}
+
+// Open the loopback device, set YUYV output format (2 bytes/px), STREAMON.
+// Returns fd >= 0, or -errno.
+int bsio_loopback_init(const char *device, int width, int height) {
+#if BSIO_HAVE_V4L2
+  return bsio_loopback_init_fmt(device, width, height, V4L2_PIX_FMT_YUYV);
 #else
   (void)device; (void)width; (void)height;
   return -ENOSYS;

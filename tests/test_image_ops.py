@@ -178,3 +178,66 @@ def test_postprocess_u8_exact_matches_reference_binary_path(rng):
     want = np.full((480, 640), 255, np.uint8)
     want[r.y:r.y + r.h, r.x:r.x + r.w] = up
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 packs (NV12 / I420)
+
+
+def test_i420_bit_exact_vs_cv2(rng):
+    from backscrub_tpu.pipeline.image import bgr_to_i420
+    for h, w in [(8, 8), (48, 64), (30, 42)]:
+        bgr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420).reshape(-1)
+        got = np.asarray(bgr_to_i420(jnp.asarray(bgr)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_nv12_is_i420_interleaved(rng):
+    from backscrub_tpu.pipeline.image import bgr_to_i420, bgr_to_nv12
+    h, w = 48, 64
+    bgr = rng.integers(0, 256, (h, w, 3), np.uint8)
+    nv12 = np.asarray(bgr_to_nv12(jnp.asarray(bgr)))
+    assert nv12.shape == (h * 3 // 2, w)
+    flat = np.asarray(bgr_to_i420(jnp.asarray(bgr)))
+    y = flat[:h * w].reshape(h, w)
+    u = flat[h * w:h * w + h * w // 4].reshape(h // 2, w // 2)
+    v = flat[h * w + h * w // 4:].reshape(h // 2, w // 2)
+    np.testing.assert_array_equal(nv12[:h], y)
+    uv = nv12[h:].reshape(h // 2, w // 2, 2)
+    np.testing.assert_array_equal(uv[..., 0], u)
+    np.testing.assert_array_equal(uv[..., 1], v)
+
+
+def test_420_rejects_odd_geometry(rng):
+    from backscrub_tpu.pipeline.image import bgr_to_i420, bgr_to_nv12
+    bgr = jnp.zeros((7, 8, 3), jnp.uint8)
+    for fn in (bgr_to_nv12, bgr_to_i420):
+        with pytest.raises(ValueError):
+            fn(bgr)
+
+
+def test_pipeline_nv12_output(rng):
+    """output_format='nv12': the fused step emits a cv2-bit-exact 4:2:0
+    frame of the same composite the bgr path produces."""
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    from conftest import model_path
+
+    path = model_path("segm_lite_v681.tflite")
+    frame = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    bg = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    p_bgr = FramePipeline(path, PipelineConfig(width=64, height=48,
+                                               output_format="bgr"))
+    p_nv = FramePipeline(path, PipelineConfig(width=64, height=48,
+                                              output_format="nv12"))
+    comp, _ = p_bgr.step(frame, bg)
+    nv12, _ = p_nv.step(frame, bg)
+    want = cv2.cvtColor(np.asarray(comp), cv2.COLOR_BGR2YUV_I420)
+    y = want[:48]
+    u = want[48:60].reshape(24, 32)
+    v = want[60:].reshape(24, 32)
+    got = np.asarray(nv12)
+    np.testing.assert_array_equal(got[:48], y)
+    uv = got[48:].reshape(24, 32, 2)
+    np.testing.assert_array_equal(uv[..., 0], u)
+    np.testing.assert_array_equal(uv[..., 1], v)

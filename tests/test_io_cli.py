@@ -186,3 +186,22 @@ def test_cli_staging_flag_runs():
     rc = main(["-c", "test:", "-v", "null:", "--frames", "4", "--staging",
                "--cg", "64x48", "-m", "segm_lite_v681.tflite"])
     assert rc == 0
+
+
+def test_cli_sink_format_nv12_file(tmp_path):
+    """--sink-format nv12: device-packed 4:2:0 frames land in a raw file
+    with the right frame size; a video sink decodes via cv2 NV12."""
+    from backscrub_tpu.cli import main
+    out = str(tmp_path / "out.yuv")
+    rc = main(["-c", "test:", "-v", f"file:{out}", "--frames", "4",
+               "--sink-format", "nv12", "--cg", "64x48",
+               "-m", "segm_lite_v681.tflite"])
+    assert rc == 0
+    data = np.fromfile(out, np.uint8)
+    assert data.size == 4 * 48 * 64 * 3 // 2
+
+
+def test_cli_sink_format_rejects_unknown():
+    from backscrub_tpu.cli import parse_args
+    with pytest.raises(ValueError):
+        parse_args(["--sink-format", "rgb565"])
