@@ -201,15 +201,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         source.close()
         return 1
-    # native YUYV cameras upload raw bytes; the device decodes (1.5x less
-    # host->device traffic and no host cvtColor on the critical path)
-    raw_ingest = getattr(source, "raw_format", None) == "yuyv"
+    # native YUYV/NV12 cameras upload raw bytes; the device decodes (1.5-2x
+    # less host->device traffic and no host cvtColor on the critical path)
+    raw_fmt = getattr(source, "raw_format", None)
+    raw_ingest = raw_fmt in ("yuyv", "nv12")
     pcfg = PipelineConfig(
         width=cw, height=ch, out_width=vw, out_height=vh,
         blur_strength=cfg["blur_strength"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
-        input_format="yuyv" if raw_ingest else "bgr",
+        input_format=raw_fmt if raw_ingest else "bgr",
         output_format=cfg["sink_format"],
     )
     pipe = FramePipeline(

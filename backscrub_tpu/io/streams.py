@@ -52,9 +52,11 @@ class CameraSource(FrameSource):
 
     @property
     def raw_format(self):
-        """'yuyv' when the driver delivers YUYV and raw device-side ingest
-        is possible; None otherwise."""
-        return "yuyv" if self._native and self.cap.pixelformat == "YUYV" else None
+        """'yuyv'/'nv12' when the driver delivers a format the device can
+        ingest raw (PipelineConfig.input_format); None otherwise."""
+        if not self._native:
+            return None
+        return {"YUYV": "yuyv", "NV12": "nv12"}.get(self.cap.pixelformat)
 
     def read(self):
         if self._native:
@@ -63,13 +65,17 @@ class CameraSource(FrameSource):
         return frame if ok else None
 
     def read_raw(self):
-        """Raw YUYV bytes as (H, 2W) u8 (only when raw_format == 'yuyv');
+        """Raw camera bytes — (H, 2W) u8 for YUYV, (3H/2, W) u8 for NV12 —
         uploaded verbatim, decoded on device (PipelineConfig.input_format)."""
         raw = self.cap.grab_raw()
+        if self.raw_format == "nv12":
+            shape = (self.height * 3 // 2, self.width)
+        else:
+            shape = (self.height, self.width * 2)
         # copy: grab_raw returns a view into the capture's reused buffer,
         # and the serving loop uploads asynchronously — the next grab must
         # not overwrite bytes still in flight
-        return raw.reshape(self.height, self.width * 2).copy()
+        return raw.reshape(shape).copy()
 
     def close(self):
         self.cap.release() if not self._native else self.cap.close()

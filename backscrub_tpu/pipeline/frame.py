@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from .decode import decode_val, ema_update
 from .image import (alpha_blend_u8, bgr_to_i420, bgr_to_nv12, flip,
-                    gaussian_blur, resize_bilinear, rgb_to_yuyv,
-                    yuyv_to_rgb_u8)
+                    gaussian_blur, nv12_to_bgr_u8, resize_bilinear,
+                    rgb_to_yuyv, yuyv_to_rgb_u8)
 from .maskgen import MaskGen, postprocess_mask, preprocess
 
 
@@ -143,6 +143,9 @@ class FramePipeline:
                 # uploads the kernel buffer verbatim; decode rides the VPU)
                 yuyv = frame.reshape(frame.shape[:-1] + (frame.shape[-1] // 2, 2))
                 frame = yuyv_to_rgb_u8(yuyv)[..., ::-1]  # RGB -> BGR order
+            elif cfg.input_format == "nv12":
+                # raw 4:2:0 camera bytes (3H/2, W) u8 -> BGR on device
+                frame = nv12_to_bgr_u8(frame)
             if not active:
                 # filter off ('s' key): passthrough convert only
                 # (app/deepseg.cc:662-664); EMA state is left untouched

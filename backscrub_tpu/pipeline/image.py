@@ -377,6 +377,25 @@ def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2",
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
 
 
+def nv12_to_bgr_u8(nv12_u8):
+    """NV12 (..., 3H/2, W) u8 -> BGR u8, bit-exact with
+    cv2.COLOR_YUV2BGR_NV12 (BT.601 video range, chroma replicated per
+    2x2 block) — device-side ingest for NV12 cameras."""
+    hh, w = nv12_u8.shape[-2], nv12_u8.shape[-1]
+    h = hh * 2 // 3
+    q = nv12_u8.astype(jnp.int32)
+    y = q[..., :h, :]
+    uv = q[..., h:, :].reshape(q.shape[:-2] + (h // 2, w // 2, 2))
+    u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=-2), 2, axis=-1) - 128
+    v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=-2), 2, axis=-1) - 128
+    yy = jnp.maximum(y - 16, 0) * _BT601_CY
+    half = 1 << (_BT601_SHIFT - 1)
+    r = (yy + _BT601_CVR * v + half) >> _BT601_SHIFT
+    g = (yy + _BT601_CUG * u + _BT601_CVG * v + half) >> _BT601_SHIFT
+    b = (yy + _BT601_CUB * u + half) >> _BT601_SHIFT
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0, 255).astype(jnp.uint8)
+
+
 def normalize_u8(x_u8, scale: float, offset: float, dtype=jnp.float32):
     """u8 -> float with per-model scaling (lib/libbackscrub.cc:302)."""
     return x_u8.astype(dtype) * dtype(scale) + dtype(offset)

@@ -303,3 +303,29 @@ def test_u8_exact_env_default(monkeypatch):
     mg3 = MaskGen(model_path("segm_lite_v681.tflite"), 64, 48,
                   u8_exact_post=True)
     assert mg3.u8_exact_post is True
+
+
+def test_device_nv12_ingest_matches_host_decode(rng):
+    """input_format='nv12' (raw 4:2:0 camera bytes decoded on device,
+    bit-exact with cv2.COLOR_YUV2BGR_NV12) must produce identical output
+    to the host-decode path feeding BGR."""
+    path = model_path("segm_lite_v681.tflite")
+    bgr0 = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    i420 = cv2.cvtColor(bgr0, cv2.COLOR_BGR2YUV_I420)
+    y = i420[:48]
+    u = i420[48:60].reshape(24, 32)
+    v = i420[60:].reshape(24, 32)
+    nv12 = np.concatenate([y, np.stack([u, v], -1).reshape(24, 64)])
+    host_decoded = cv2.cvtColor(nv12, cv2.COLOR_YUV2BGR_NV12)
+    bg = np.zeros((48, 64, 3), np.uint8)
+
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    p_host = FramePipeline(path, PipelineConfig(width=64, height=48,
+                                                use_bilateral=False))
+    p_dev = FramePipeline(path, PipelineConfig(width=64, height=48,
+                                               use_bilateral=False,
+                                               input_format="nv12"))
+    for _ in range(3):
+        out_h, _ = p_host.step(host_decoded, bg)
+        out_d, _ = p_dev.step(nv12, bg)
+    np.testing.assert_array_equal(np.asarray(out_h), np.asarray(out_d))
