@@ -53,8 +53,8 @@ usage:
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
 --staging     Route host<->device transfers through pinned-host staging
               (DMA-eligible on PCIe-attached TPUs; bit-identical output)
---sink-format yuyv|nv12|i420   Virtual-camera pixel format (default yuyv;
-              4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
+--sink-format yuyv|nv12|i420|bgr24   Virtual-camera pixel format (default
+              yuyv; 4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
 """
 
 
@@ -139,8 +139,9 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["staging"] = True
         elif a == "--sink-format":
             fmt = val().lower()
-            if fmt not in ("yuyv", "nv12", "i420"):
-                raise ValueError(f"--sink-format must be yuyv|nv12|i420, got {fmt!r}")
+            if fmt not in ("yuyv", "nv12", "i420", "bgr24"):
+                raise ValueError(
+                    f"--sink-format must be yuyv|nv12|i420|bgr24, got {fmt!r}")
             cfg["sink_format"] = fmt
         else:
             raise ValueError(f"unknown argument {a!r}")
@@ -211,7 +212,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
         input_format=raw_fmt if raw_ingest else "bgr",
-        output_format=cfg["sink_format"],
+        output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
     )
     pipe = FramePipeline(
         model_path, pcfg,
@@ -271,6 +272,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if cfg["sink_format"] == "yuyv":
                     test = cv2.cvtColor(out_np.reshape(vh, vw, 2),
                                         cv2.COLOR_YUV2BGR_YUY2)
+                elif cfg["sink_format"] == "bgr24":
+                    test = out_np.reshape(vh, vw, 3)
                 else:
                     code = (cv2.COLOR_YUV2BGR_NV12 if cfg["sink_format"] == "nv12"
                             else cv2.COLOR_YUV2BGR_I420)

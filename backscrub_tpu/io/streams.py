@@ -171,7 +171,8 @@ class LoopbackFrameSink(FrameSink):
     def __init__(self, device: str, width: int, height: int,
                  out_format: str = "yuyv"):
         from .v4l2 import LoopbackSink
-        fourcc = {"yuyv": "YUYV", "nv12": "NV12", "i420": "YU12"}[out_format]
+        fourcc = {"yuyv": "YUYV", "nv12": "NV12", "i420": "YU12",
+                  "bgr24": "BGR3"}[out_format]
         self.sink = LoopbackSink(device, width, height, pixel_format=fourcc)
 
     def write_yuyv(self, yuyv_bytes):
@@ -220,6 +221,8 @@ class FileFrameSink(FrameSink):
         elif self.out_format == "i420":
             bgr = self._cv2.cvtColor(buf.reshape(self.height * 3 // 2, self.width),
                                      self._cv2.COLOR_YUV2BGR_I420)
+        elif self.out_format == "bgr24":
+            bgr = buf.reshape(self.height, self.width, 3)
         else:
             raise ValueError(f"unknown sink format {self.out_format!r}")
         self._writer.write(bgr)

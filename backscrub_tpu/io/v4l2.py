@@ -76,7 +76,8 @@ def fourcc(code: str) -> int:
 
 
 # bytes per pixel numerator/denominator per supported output format
-_FORMAT_BYTES = {"YUYV": (2, 1), "NV12": (3, 2), "YU12": (3, 2)}
+_FORMAT_BYTES = {"YUYV": (2, 1), "NV12": (3, 2), "YU12": (3, 2),
+                 "BGR3": (3, 1), "RGB3": (3, 1)}
 
 
 class LoopbackSink:

@@ -56,6 +56,11 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
       bytesperline = width;    // luma plane stride; planes are contiguous
       sizeimage = width * height * 3 / 2;
       break;
+    case V4L2_PIX_FMT_BGR24:
+    case V4L2_PIX_FMT_RGB24:
+      bytesperline = width * 3;
+      sizeimage = width * height * 3;
+      break;
     default:
       close(fd);
       return -EINVAL;

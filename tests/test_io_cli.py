@@ -205,3 +205,14 @@ def test_cli_sink_format_rejects_unknown():
     from backscrub_tpu.cli import parse_args
     with pytest.raises(ValueError):
         parse_args(["--sink-format", "rgb565"])
+
+
+def test_cli_sink_format_bgr24_file(tmp_path):
+    from backscrub_tpu.cli import main
+    out = str(tmp_path / "out.raw")
+    rc = main(["-c", "test:", "-v", f"file:{out}", "--frames", "3",
+               "--sink-format", "bgr24", "--cg", "64x48",
+               "-m", "segm_lite_v681.tflite"])
+    assert rc == 0
+    data = np.fromfile(out, np.uint8)
+    assert data.size == 3 * 48 * 64 * 3
