@@ -112,6 +112,8 @@ class MultiStreamServer:
         cfg = ms.pipe.cfg
         if cfg.input_format == "yuyv":
             self._shape = (cfg.height, 2 * cfg.width)
+        elif cfg.input_format == "nv12":
+            self._shape = (cfg.height * 3 // 2, cfg.width)
         else:
             self._shape = (cfg.height, cfg.width, 3)
         self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)

@@ -249,3 +249,29 @@ def test_multistream_server_stall_timeout(rng):
     ticks = server.run()
     assert ticks == 0
     assert time.monotonic() - t0 < 10
+
+
+@needs_8
+def test_multistream_server_nv12_ingest(rng):
+    """Server gather follows input_format='nv12' (raw 4:2:0 batches)."""
+    import cv2
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False,
+                         input_format="nv12")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    frames = []
+    for s in range(S):
+        bgr = rng.integers(0, 256, (48, 64, 3), np.uint8)
+        i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+        y, u, v = i420[:48], i420[48:60].reshape(24, 32), i420[60:].reshape(24, 32)
+        frames.append(np.concatenate([y, np.stack([u, v], -1).reshape(24, 64)]))
+    iters = [iter([f] * 2) for f in frames]
+    got = [[] for _ in range(S)]
+    server = MultiStreamServer(ms, [lambda it=it: next(it, None) for it in iters],
+                               [g.append for g in got])
+    assert server.run() == 2
+    assert all(len(g) == 2 and g[0].shape == (48, 128) for g in got)
