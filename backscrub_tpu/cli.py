@@ -44,6 +44,7 @@ usage:
 -m            Segmentation model (.tflite)
 -p            Add post-processing steps
 -p bgblur:<strength>   Blur the video background
+-p refine:guided       Edge-aware guided-filter mask refinement (default: box)
 -H            Mirror the output horizontally
 -V            Mirror the output vertically
 --frames N    Process N frames then exit (0 = run forever)
@@ -62,7 +63,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
     cfg = dict(debug=0, progress=False, ccam="/dev/video0", vcam="/dev/video1",
                cap_geo=None, vid_geo=None, fourcc="", threads=2,
                background=None, model="selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
-               blur_strength=0, flip_h=False, flip_v=False,
+               blur_strength=0, mask_refine="box", flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
                correct_colors=False, staging=False, sink_format="yuyv")
@@ -123,6 +124,11 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                     print("No strength value supplied, using default strength 25",
                           file=sys.stderr)
                     cfg["blur_strength"] = 25
+            elif opt.startswith("refine"):
+                mode = opt.split(":", 1)[1] if ":" in opt else "guided"
+                if mode not in ("box", "guided"):
+                    raise ValueError(f"refine mode must be box|guided, got {mode!r}")
+                cfg["mask_refine"] = mode
             else:
                 raise ValueError(f"unknown post-processing option {opt!r}")
         elif a == "--frames":
@@ -211,6 +217,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         blur_strength=cfg["blur_strength"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
+        mask_refine=cfg["mask_refine"],
         input_format=raw_fmt if raw_ingest else "bgr",
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
     )

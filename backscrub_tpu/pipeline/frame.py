@@ -38,6 +38,8 @@ class PipelineConfig:
     flip_horizontal: bool = False
     flip_vertical: bool = False
     use_bilateral: bool = True
+    mask_refine: str = "box"         # "box" (reference 5x5 blur) | "guided"
+                                     # (edge-aware guided filter, -p refine:guided)
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -159,7 +161,8 @@ class FramePipeline:
             out = out[0] if x.ndim == 3 else out
             val = decode_val(out.astype(jnp.float32), spec)
             new_ema = ema_update(ema, val)
-            mask = postprocess_mask(new_ema, geo, precision=self.precision)
+            mask = postprocess_mask(new_ema, geo, precision=self.precision,
+                                    refine=cfg.mask_refine, frame_bgr=frame)
 
             # --- background (app/deepseg.cc:645-658)
             bg_frame = frame if bg_mode == "blur" else bg

@@ -205,6 +205,35 @@ def gaussian_blur(x, ksize: int, sigma: float = 0.0):
 
 
 # ---------------------------------------------------------------------------
+# guided filter (edge-aware mask refinement; beyond-parity quality feature)
+
+
+def guided_filter(guide, src, radius: int = 8, eps: float = 1e-3):
+    """He et al. guided filter: refine ``src`` (..., H, W) with edges from
+    ``guide`` (..., H, W), both float in [0, 1].
+
+    Composes entirely of separable box means + elementwise math, so XLA
+    fuses it into the frame program.  Used to snap the upscaled person
+    mask to the camera frame's real edges — the reference's 5x5 box blur
+    (app pipeline, lib/libbackscrub.cc:371) smears the silhouette boundary
+    uniformly; this keeps it tight where the image has contrast."""
+    k = 2 * radius + 1
+
+    def mean(x):
+        return box_blur(x[..., None], k)[..., 0]
+
+    m_i = mean(guide)
+    m_p = mean(src)
+    corr_i = mean(guide * guide)
+    corr_ip = mean(guide * src)
+    var_i = corr_i - m_i * m_i
+    cov_ip = corr_ip - m_i * m_p
+    a = cov_ip / (var_i + eps)
+    b = m_p - a * m_i
+    return mean(a) * guide + mean(b)
+
+
+# ---------------------------------------------------------------------------
 # compositing
 
 

@@ -23,8 +23,8 @@ from ..graph.executor import CompiledModel, load_model
 from ..models.specs import ModelSpec, resolve_model_path, spec_for_model
 from .decode import decode_val, ema_update
 from .geometry import RoiGeometry, compute_roi
-from .image import (bilateral5, box_blur, box_blur_u8_exact, resize_bilinear,
-                    resize_bilinear_u8_exact)
+from .image import (bilateral5, box_blur, box_blur_u8_exact, guided_filter,
+                    resize_bilinear, resize_bilinear_u8_exact)
 
 
 def _on_tpu() -> bool:
@@ -61,11 +61,18 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
 
 
 def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
-                     u8_exact: bool = False):
+                     u8_exact: bool = False, refine: str = "box",
+                     frame_bgr=None, refine_radius: int = 4):
     """EMA mask (..., oh, ow) u8 -> full-frame mask (..., H, W) u8.
 
     Crop the model-output ROI, upscale to the frame ROI, 5x5 box blur, and
     embed in an all-255 canvas (libbackscrub.cc:366-371 + mask init :248).
+
+    ``refine="guided"`` (with ``frame_bgr``) replaces the uniform box blur
+    with an edge-aware guided filter over the camera frame's luma — the
+    silhouette boundary stays tight where the image has contrast instead
+    of being smeared by a fixed 5x5 window (beyond-parity quality mode,
+    CLI ``-p refine:guided``).
 
     ``u8_exact=True`` runs the upscale+blur with OpenCV's u8 fixed-point
     semantics bit-exactly (cv2's u8 and float resize paths differ by +-1 on
@@ -76,6 +83,24 @@ def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
     """
     o = geo.out_roi
     small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
+    if refine == "guided":
+        if frame_bgr is None:
+            raise ValueError("refine='guided' needs the camera frame as guide")
+        r = geo.roi
+        small_f = small.astype(jnp.float32)[..., None]
+        up = resize_bilinear(small_f, geo.roi.h, geo.roi.w,
+                             precision=precision)[..., 0] / 255.0
+        roi = frame_bgr[..., r.y:r.y + r.h, r.x:r.x + r.w, :].astype(jnp.float32)
+        # BT.601 luma as the guide signal, scaled to [0, 1]
+        luma = (roi[..., 2] * 0.299 + roi[..., 1] * 0.587 + roi[..., 0] * 0.114) / 255.0
+        # radius 4 at full resolution: IoU vs the box-blur golden stays
+        # ~0.96 on real frames (r=2 -> 0.99, r=8 -> 0.94); refinement
+        # strength is an intentional, configurable deviation
+        q = guided_filter(luma, up, radius=refine_radius, eps=1e-3)
+        m = jnp.clip(jnp.round(q * 255.0), 0, 255).astype(jnp.uint8)
+        pad = [(0, 0)] * (m.ndim - 2) + [(r.y, geo.frame_h - r.y - r.h),
+                                         (r.x, geo.frame_w - r.x - r.w)]
+        return jnp.pad(m, pad, constant_values=255)
     if u8_exact:
         up8 = resize_bilinear_u8_exact(small[..., None], geo.roi.h, geo.roi.w)
         m = box_blur_u8_exact(up8, 5)[..., 0]
@@ -113,6 +138,7 @@ class MaskGen:
                  use_bilateral: bool = True,
                  fused: bool = True,
                  u8_exact_post: Optional[bool] = None,
+                 refine: str = "box",
                  quantize=None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
@@ -144,6 +170,9 @@ class MaskGen:
             u8_exact_post = os.environ.get(
                 "BACKSCRUB_U8_EXACT", "").lower() in ("1", "true", "on")
         self.u8_exact_post = u8_exact_post
+        if refine not in ("box", "guided"):
+            raise ValueError(f"refine must be 'box' or 'guided', got {refine!r}")
+        self.refine = refine
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)
         self._dbg(f"loaded {self.model_path} ({self.spec.kind}, "
@@ -160,7 +189,8 @@ class MaskGen:
             val = decode_val(out.astype(jnp.float32), self.spec)
             new_ema = ema_update(ema, val)
             mask = postprocess_mask(new_ema, self.geo, precision=self.precision,
-                                    u8_exact=self.u8_exact_post)
+                                    u8_exact=self.u8_exact_post,
+                                    refine=self.refine, frame_bgr=frame)
             return mask, new_ema
 
         self._step = jax.jit(_step, donate_argnums=(2,))
@@ -169,7 +199,7 @@ class MaskGen:
             frame, self.geo, self.spec, use_bilateral=self.use_bilateral,
             precision=self.precision))
         self._infer = jax.jit(lambda params, x: self.model.raw_fn(params, x[None])[0])
-        self._post = jax.jit(lambda out, ema: self._decode_post(out, ema),
+        self._post = jax.jit(lambda out, ema, frame: self._decode_post(out, ema, frame),
                              donate_argnums=(1,))
 
     def _dbg(self, msg: str):
@@ -177,11 +207,12 @@ class MaskGen:
         if self.ondebug:
             self.ondebug(msg)
 
-    def _decode_post(self, out, ema):
+    def _decode_post(self, out, ema, frame=None):
         val = decode_val(out.astype(jnp.float32), self.spec)
         new_ema = ema_update(ema, val)
         return postprocess_mask(new_ema, self.geo, precision=self.precision,
-                                u8_exact=self.u8_exact_post), new_ema
+                                u8_exact=self.u8_exact_post,
+                                refine=self.refine, frame_bgr=frame), new_ema
 
     def process(self, frame_bgr_u8) -> np.ndarray:
         """Frame (H, W, 3) BGR u8 -> mask (H, W) u8. bs_maskgen_process equivalent."""
@@ -200,7 +231,7 @@ class MaskGen:
         out = self._infer(self.model.params, x)
         if self.oninfer:
             self.oninfer()
-        mask, self.ema = self._post(out, self.ema)
+        mask, self.ema = self._post(out, self.ema, frame)
         if self.onmask:
             self.onmask()
         return np.asarray(mask)

@@ -329,3 +329,53 @@ def test_device_nv12_ingest_matches_host_decode(rng):
         out_h, _ = p_host.step(host_decoded, bg)
         out_d, _ = p_dev.step(nv12, bg)
     np.testing.assert_array_equal(np.asarray(out_h), np.asarray(out_d))
+
+
+def test_guided_refine_edge_aware():
+    """Guided refinement hugs image edges: where the guide has a sharp
+    luma step aligned with the mask boundary, the refined mask transitions
+    more sharply than the box-blurred one; both stay close in IoU."""
+    from backscrub_tpu.pipeline.geometry import compute_roi
+    from backscrub_tpu.pipeline.maskgen import postprocess_mask
+
+    geo = compute_roi(160, 96, 160, 96, 160, 96)
+    ema = np.full((96, 160), 255, np.uint8)
+    ema[:, :80] = 0  # left half person
+    frame = np.zeros((96, 160, 3), np.uint8)
+    frame[:, :80] = 230  # sharp luma edge at the same boundary
+
+    box = np.asarray(postprocess_mask(jnp.asarray(ema), geo))
+    guided = np.asarray(postprocess_mask(jnp.asarray(ema), geo,
+                                         refine="guided",
+                                         frame_bgr=jnp.asarray(frame)))
+    # transition width: columns where the mask is neither person nor bg
+    mid_box = ((box[48] > 32) & (box[48] < 224)).sum()
+    mid_guided = ((guided[48] > 32) & (guided[48] < 224)).sum()
+    assert mid_guided <= mid_box
+    same = (guided < 128) == (box < 128)
+    assert same.mean() > 0.97
+
+
+def test_guided_refine_pipeline_parity():
+    """Full pipeline with -p refine:guided keeps golden-level IoU."""
+    path = model_path("segm_lite_v681.tflite")
+    frame = cv2.imread(SCREENSHOT)
+    if frame is None:
+        pytest.skip("screenshot asset unavailable")
+    frame = cv2.resize(frame, (640, 480))
+    spec = spec_for_model(path)
+    golden = reference_maskgen(path, [frame] * 4, 640, 480, spec)
+    mg = MaskGen(path, 640, 480, refine="guided")
+    for _ in range(4):
+        ours = np.asarray(mg.process(frame))
+    # guided refinement intentionally deviates at silhouette edges (that's
+    # its job); it must stay close to the box-blur golden everywhere else
+    assert iou(ours < 128, golden < 128) >= 0.95
+
+
+def test_guided_refine_requires_frame():
+    from backscrub_tpu.pipeline.geometry import compute_roi
+    from backscrub_tpu.pipeline.maskgen import postprocess_mask
+    geo = compute_roi(64, 48, 64, 48, 64, 48)
+    with pytest.raises(ValueError):
+        postprocess_mask(jnp.zeros((48, 64), jnp.uint8), geo, refine="guided")
