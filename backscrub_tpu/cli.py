@@ -276,15 +276,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 out_np = np.asarray(out)
                 sink.write_yuyv(out_np)
                 timer.mark("sink")
-                if cfg["sink_format"] == "yuyv":
-                    test = cv2.cvtColor(out_np.reshape(vh, vw, 2),
-                                        cv2.COLOR_YUV2BGR_YUY2)
-                elif cfg["sink_format"] == "bgr24":
-                    test = out_np.reshape(vh, vw, 3)
-                else:
-                    code = (cv2.COLOR_YUV2BGR_NV12 if cfg["sink_format"] == "nv12"
-                            else cv2.COLOR_YUV2BGR_I420)
-                    test = cv2.cvtColor(out_np.reshape(vh * 3 // 2, vw), code)
+                from .io.streams import packed_to_bgr
+                test = packed_to_bgr(out_np, cfg["sink_format"], vw, vh)
                 view = compose_debug_view(
                     test, state, mask=np.asarray(mask),
                     bg_thumb=background.thumbnail() if background else None,

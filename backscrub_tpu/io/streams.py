@@ -156,6 +156,26 @@ def open_source(uri: str, width: int, height: int, pixfmt: str = "") -> FrameSou
     return FileSource(uri, width, height)
 
 
+def packed_to_bgr(buf, fmt: str, width: int, height: int) -> np.ndarray:
+    """Packed sink-format buffer -> BGR u8 (host-side decode for debug
+    views and video-container sinks; the single source of truth for the
+    per-format layout)."""
+    import cv2
+    buf = np.asarray(buf, np.uint8)
+    if fmt == "yuyv":
+        return cv2.cvtColor(buf.reshape(height, width, 2),
+                            cv2.COLOR_YUV2BGR_YUY2)
+    if fmt == "nv12":
+        return cv2.cvtColor(buf.reshape(height * 3 // 2, width),
+                            cv2.COLOR_YUV2BGR_NV12)
+    if fmt == "i420":
+        return cv2.cvtColor(buf.reshape(height * 3 // 2, width),
+                            cv2.COLOR_YUV2BGR_I420)
+    if fmt in ("bgr24", "bgr"):
+        return buf.reshape(height, width, 3)
+    raise ValueError(f"unknown packed format {fmt!r}")
+
+
 class FrameSink:
     def write_yuyv(self, yuyv_bytes: np.ndarray):  # (H, 2W) u8
         raise NotImplementedError
@@ -211,21 +231,8 @@ class FileFrameSink(FrameSink):
         if self._f is not None:
             self._f.write(np.ascontiguousarray(yuyv_bytes, np.uint8).tobytes())
             return
-        buf = np.asarray(yuyv_bytes, np.uint8)
-        if self.out_format == "yuyv":
-            yuyv = buf.reshape(self.height, self.width, 2)
-            bgr = self._cv2.cvtColor(yuyv, self._cv2.COLOR_YUV2BGR_YUY2)
-        elif self.out_format == "nv12":
-            bgr = self._cv2.cvtColor(buf.reshape(self.height * 3 // 2, self.width),
-                                     self._cv2.COLOR_YUV2BGR_NV12)
-        elif self.out_format == "i420":
-            bgr = self._cv2.cvtColor(buf.reshape(self.height * 3 // 2, self.width),
-                                     self._cv2.COLOR_YUV2BGR_I420)
-        elif self.out_format == "bgr24":
-            bgr = buf.reshape(self.height, self.width, 3)
-        else:
-            raise ValueError(f"unknown sink format {self.out_format!r}")
-        self._writer.write(bgr)
+        self._writer.write(packed_to_bgr(yuyv_bytes, self.out_format,
+                                         self.width, self.height))
 
     def write_bgr(self, bgr):
         if self._writer is not None:

@@ -41,11 +41,16 @@ def load_bsio() -> ctypes.CDLL:
             "libbsio.so not found — build it with: cmake -S native -B native/build && "
             "cmake --build native/build")
     lib = ctypes.CDLL(path)
+    try:
+        lib.bsio_loopback_init_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                               ctypes.c_int, ctypes.c_uint32]
+        lib.bsio_loopback_init_fmt.restype = ctypes.c_int
+    except AttributeError:
+        raise RuntimeError(
+            f"{path} is a stale build missing bsio_loopback_init_fmt — "
+            "rebuild with: cmake --build native/build") from None
     lib.bsio_loopback_init.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.bsio_loopback_init.restype = ctypes.c_int
-    lib.bsio_loopback_init_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                           ctypes.c_int, ctypes.c_uint32]
-    lib.bsio_loopback_init_fmt.restype = ctypes.c_int
     lib.bsio_loopback_write.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
     lib.bsio_loopback_write.restype = ctypes.c_int
     lib.bsio_loopback_free.argtypes = [ctypes.c_int]

@@ -79,6 +79,13 @@ class FramePipeline:
                     raise ValueError(
                         f"{label} geometry {a}x{b}: 4:2:0 output "
                         f"({config.output_format}) needs even width and height")
+        if config.input_format == "yuyv" and config.width % 2:
+            raise ValueError(
+                f"width={config.width}: YUYV ingest needs an even width")
+        if config.input_format == "nv12" and (config.width % 2 or config.height % 2):
+            raise ValueError(
+                f"capture geometry {config.width}x{config.height}: 4:2:0 "
+                "(nv12) ingest needs even width and height")
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,

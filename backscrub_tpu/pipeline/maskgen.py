@@ -84,6 +84,11 @@ def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
     o = geo.out_roi
     small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
     if refine == "guided":
+        if u8_exact:
+            raise ValueError(
+                "refine='guided' and u8_exact byte parity are contradictory: "
+                "guided refinement intentionally deviates from the reference "
+                "binary's box-blur path — request one or the other")
         if frame_bgr is None:
             raise ValueError("refine='guided' needs the camera frame as guide")
         r = geo.roi

@@ -62,7 +62,15 @@ class _Reader:
 
     def _run(self):
         while not self._stop:
-            frame = self.source()
+            try:
+                frame = self.source()
+            except Exception as e:
+                # a dead reader must look like EOF, not a silent stall
+                import sys
+                print(f"stream reader failed: {e!r}", file=sys.stderr)
+                with self.lock:
+                    self.done = True
+                return
             if frame is None:
                 with self.lock:
                     self.done = True

@@ -57,8 +57,12 @@ class SegmentationData:
             t = np.asarray(t)
             if t.dtype == np.uint8:
                 t = t.astype(np.float32) / 255.0
-                if mask_convention == "backscrub":
-                    t = 1.0 - t  # 0 = person -> prob 1
+            if mask_convention == "backscrub":
+                t = 1.0 - t  # serving convention: 0 = person -> prob 1
+            elif mask_convention != "person_white":
+                raise ValueError(
+                    f"mask_convention must be 'person_white' or 'backscrub', "
+                    f"got {mask_convention!r}")
             t = cv2.resize(t.astype(np.float32), (ow, oh))
             ys.append(np.clip(t, 0.0, 1.0))
         return cls(np.stack(xs), np.stack(ys), spec)
@@ -77,6 +81,9 @@ class SegmentationData:
             img = cv2.imread(os.path.join(images_dir, name))
             msk = cv2.imread(mpath, cv2.IMREAD_GRAYSCALE)
             if img is None or msk is None:
+                import sys
+                print(f"warning: skipping unreadable pair {name!r}",
+                      file=sys.stderr)
                 continue
             frames.append(img)
             targets.append(msk)

@@ -171,9 +171,10 @@ class Trainer:
         return float(loss)
 
     def evaluate(self, x, y) -> dict:
-        """Validation metrics on a batch: {'loss', 'iou'} (mask IoU at the
-        0.5 probability threshold, the train-time analog of the golden-test
-        IoU gate)."""
+        """Validation metrics on a batch: {'loss', 'iou'}.  The IoU compares
+        the target (person where y > 0.5) with the mask the DEPLOYED decode
+        rule produces (pipeline/decode.py decode_val == 0) — the train-time
+        analog of the golden-test IoU gate, not a generic 0.5 threshold."""
         if self.x_sharding is not None:
             x = jax.device_put(jnp.asarray(x), self.x_sharding)
             y = jax.device_put(jnp.asarray(y), self.y_sharding)

@@ -46,6 +46,10 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
   }
 
   uint32_t bytesperline, sizeimage;
+  // SRGB for YUYV keeps reference parity (videoio/loopback.cc sets SRGB);
+  // the 4:2:0 packs are explicitly BT.601 limited range, so advertise
+  // SMPTE170M or colorimetry-honoring consumers decode with wrong range.
+  uint32_t colorspace = V4L2_COLORSPACE_SRGB;
   switch (fourcc) {
     case V4L2_PIX_FMT_YUYV:
       bytesperline = width * 2;
@@ -55,6 +59,7 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
     case V4L2_PIX_FMT_YUV420:  // 'YU12' = I420
       bytesperline = width;    // luma plane stride; planes are contiguous
       sizeimage = width * height * 3 / 2;
+      colorspace = V4L2_COLORSPACE_SMPTE170M;
       break;
     case V4L2_PIX_FMT_BGR24:
     case V4L2_PIX_FMT_RGB24:
@@ -75,7 +80,7 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
   fmt.fmt.pix.field = V4L2_FIELD_NONE;
   fmt.fmt.pix.bytesperline = bytesperline;
   fmt.fmt.pix.sizeimage = sizeimage;
-  fmt.fmt.pix.colorspace = V4L2_COLORSPACE_SRGB;
+  fmt.fmt.pix.colorspace = colorspace;
   if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) {
     int e = errno; close(fd); return -e;
   }
