@@ -270,7 +270,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             if window is not None and window.available:
                 # HUD mode: synchronous step so the mask/output pair shown
                 # is the frame just processed (debug, not perf-critical)
-                import cv2
                 out, mask = pipe.step(frame, bg, **toggles)
                 timer.mark("dispatch")
                 out_np = np.asarray(out)

@@ -7,7 +7,6 @@ reduce_window when padding actually occurs.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 from jax import lax
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline.frame import FramePipeline, PipelineConfig
-from .mesh import param_sharding_spec, shard_params
+from .mesh import shard_params
 
 
 class MultiStreamPipeline:

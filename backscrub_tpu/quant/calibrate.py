@@ -10,7 +10,7 @@ dynamic range explodes are where bf16/int8 fidelity is lost.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax.numpy as jnp
