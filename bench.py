@@ -273,12 +273,30 @@ def run_parity_check():
     sys.exit(0 if worst >= 0.99 else 1)
 
 
+def run_profile():
+    """Capture a jax.profiler trace of the headline config (100 steps) for
+    TensorBoard/Perfetto; prints the trace directory."""
+    import jax
+    from backscrub_tpu.utils.profiling import device_trace
+    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
+    measure(pipe, 1280, 720, iters=20)  # warm + compile outside the trace
+    with device_trace() as log_dir:
+        measure(pipe, 1280, 720, iters=100)
+    print(f"trace written to {log_dir} (view with TensorBoard/Perfetto)",
+          file=sys.stderr)
+    print(json.dumps({"metric": "profile_trace", "value": 100,
+                      "unit": "steps", "vs_baseline": 1.0}))
+
+
 def main():
     if "--config" in sys.argv:
         run_one_config(sys.argv[sys.argv.index("--config") + 1])
         return
     if "--parity" in sys.argv:
         run_parity_check()
+        return
+    if "--profile" in sys.argv:
+        run_profile()
         return
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
