@@ -344,3 +344,36 @@ def test_fill_op():
     x = np.random.default_rng(2).random((1, 4), np.float32)
     np.testing.assert_allclose(np.asarray(cm(x)), _tflite_golden(blob, x),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_unet_style_model_golden():
+    """A classic U-Net topology (strided conv encoder, Conv2DTranspose
+    decoder, skip concatenations, sigmoid head) — the shape most real
+    bring-your-own segmentation models take — loads and matches TFLite."""
+    tf = pytest.importorskip("tensorflow")
+    inp = tf.keras.Input((32, 32, 3))
+    e1 = tf.keras.layers.Conv2D(8, 3, padding="same", activation="relu")(inp)
+    e2 = tf.keras.layers.Conv2D(16, 3, strides=2, padding="same",
+                                activation="relu")(e1)
+    e3 = tf.keras.layers.Conv2D(32, 3, strides=2, padding="same",
+                                activation="relu")(e2)
+    d2 = tf.keras.layers.Conv2DTranspose(16, 3, strides=2, padding="same",
+                                         activation="relu")(e3)
+    d2 = tf.keras.layers.Concatenate()([d2, e2])
+    d1 = tf.keras.layers.Conv2DTranspose(8, 3, strides=2, padding="same",
+                                         activation="relu")(d2)
+    d1 = tf.keras.layers.Concatenate()([d1, e1])
+    out = tf.keras.layers.Conv2D(1, 1, activation="sigmoid")(d1)
+    model = tf.keras.Model(inp, out)
+    blob = tf.lite.TFLiteConverter.from_keras_model(model).convert()
+
+    sys.path.insert(0, REPO)
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    from backscrub_tpu.graph.executor import build_model
+    g = load_tflite_bytes(blob)
+    assert "TRANSPOSE_CONV" in g.op_histogram()
+    assert "CONCATENATION" in g.op_histogram()
+    cm = build_model(g)
+    x = np.random.default_rng(7).random((1, 32, 32, 3), np.float32)
+    np.testing.assert_allclose(np.asarray(cm(x)), _tflite_golden(blob, x),
+                               atol=1e-5, rtol=1e-5)
