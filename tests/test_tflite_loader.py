@@ -58,3 +58,29 @@ def test_custom_op_options_parsed():
     o = tcb[0].options
     assert o["stride_h"] >= 1 and o["stride_w"] >= 1
     assert o["padding"] in ("SAME", "VALID")
+
+
+def test_loader_fuzz_byte_flips():
+    """Seeded byte-flip fuzz: 40 mutated copies of a real model must either
+    load or raise a Python exception — never crash the process or hang.
+    (The parser is pure Python over flatbuffers; this pins that malformed
+    offsets/enums surface as exceptions, not memory errors.)"""
+    from backscrub_tpu.tflite.loader import load_tflite_bytes
+    with open(model_path("segm_lite_v681.tflite"), "rb") as f:
+        blob = bytearray(f.read())
+    rng = np.random.default_rng(42)
+    outcomes = {"ok": 0, "raised": 0}
+    for _ in range(40):
+        mutated = bytearray(blob)
+        # flip a handful of bytes, biased toward the header/metadata region
+        for _ in range(int(rng.integers(1, 6))):
+            region = len(mutated) if rng.random() < 0.5 else min(65536, len(mutated))
+            idx = int(rng.integers(0, region))
+            mutated[idx] ^= int(rng.integers(1, 256))
+        try:
+            g = load_tflite_bytes(bytes(mutated))
+            g.op_histogram()
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    assert outcomes["ok"] + outcomes["raised"] == 40
