@@ -56,6 +56,8 @@ usage:
               (DMA-eligible on PCIe-attached TPUs; bit-identical output)
 --sink-format yuyv|nv12|i420|bgr24   Virtual-camera pixel format (default
               yuyv; 4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
+--stats-json <path>  Append a JSON stats line (fps + per-stage ms) every
+              120 frames and at exit, for production monitoring
 """
 
 
@@ -66,7 +68,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                blur_strength=0, mask_refine="box", flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
-               correct_colors=False, staging=False, sink_format="yuyv")
+               correct_colors=False, staging=False, sink_format="yuyv",
+               stats_json=None)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -149,6 +152,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                 raise ValueError(
                     f"--sink-format must be yuyv|nv12|i420|bgr24, got {fmt!r}")
             cfg["sink_format"] = fmt
+        elif a == "--stats-json":
+            cfg["stats_json"] = val()
         else:
             raise ValueError(f"unknown argument {a!r}")
         i += 1
@@ -255,6 +260,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("staging: pinned_host memory not available on this backend, "
               "using plain transfers", file=sys.stderr)
 
+    # graceful SIGTERM (service managers send it on stop): drain the ring
+    # and close devices cleanly instead of dying mid-write
+    import signal
+
+    def _sigterm(_sig, _frm):
+        state.running = False
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not the main thread (embedded use); default handling applies
+
+    stats_f = open(cfg["stats_json"], "a") if cfg["stats_json"] else None
+
+    def emit_stats(final=False):
+        if stats_f is None:
+            return
+        import json
+        rec = timer.report_dict()
+        rec["frames"] = n
+        if final:
+            rec["final"] = True
+        stats_f.write(json.dumps(rec) + "\n")
+        stats_f.flush()
+
     n = 0
     try:
         while state.running and (cfg["frames"] == 0 or n < cfg["frames"]):
@@ -292,8 +321,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             timer.frame_done()
             if cfg["progress"]:
                 print(".", end="", flush=True)
-            if cfg["debug"] and n % 120 == 0:
-                print(timer.report_line(), file=sys.stderr)
+            if n % 120 == 0:
+                if cfg["debug"]:
+                    print(timer.report_line(), file=sys.stderr)
+                emit_stats()
     except KeyboardInterrupt:
         pass
     finally:
@@ -304,6 +335,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             background.close()
         if window is not None:
             window.close()
+        emit_stats(final=True)
+        if stats_f is not None:
+            stats_f.close()
     if cfg["progress"]:
         print()
     print(f"processed {n} frames ({timer.fps:.1f} fps)", file=sys.stderr)

@@ -55,3 +55,10 @@ class StageTimer:
         m = self.means_ms()
         stages = " ".join(f"{s}:{m[s]:.2f}ms" for s in self.STAGES if m[s] > 0)
         return f"{stages} FPS:{self.fps:.1f}"
+
+    def report_dict(self) -> Dict[str, float]:
+        """Machine-readable snapshot (CLI --stats-json): per-stage mean ms
+        over the window plus the windowed FPS."""
+        out = {f"{s}_ms": round(v, 4) for s, v in self.means_ms().items() if v > 0}
+        out["fps"] = round(self.fps, 2)
+        return out

@@ -15,6 +15,7 @@ from backscrub_tpu.io.streams import (FileFrameSink, FileSource, NullFrameSink,
                                       SyntheticSource, open_sink, open_source)
 
 BACKGROUNDS = "/root/reference/backgrounds"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 # ---------------------------------------------------------------------------
@@ -216,3 +217,45 @@ def test_cli_sink_format_bgr24_file(tmp_path):
     assert rc == 0
     data = np.fromfile(out, np.uint8)
     assert data.size == 3 * 48 * 64 * 3
+
+
+def test_cli_stats_json(tmp_path):
+    import json
+    from backscrub_tpu.cli import main
+    stats = str(tmp_path / "stats.jsonl")
+    rc = main(["-c", "test:", "-v", "null:", "--frames", "5",
+               "--stats-json", stats, "--cg", "64x48",
+               "-m", "segm_lite_v681.tflite"])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(stats)]
+    assert lines and lines[-1].get("final") is True
+    assert lines[-1]["frames"] == 5
+    assert "fps" in lines[-1]
+
+
+def test_cli_sigterm_graceful(tmp_path):
+    """SIGTERM mid-run: the process drains and exits 0 with a final stats
+    record instead of dying mid-write."""
+    import json, signal, subprocess, sys as _sys, time, os as _os
+    stats = str(tmp_path / "stats.jsonl")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from backscrub_tpu.cli import main; import sys;"
+         f"sys.exit(main(['-c','test:','-v','null:','--cg','64x48',"
+         f"'-m','segm_lite_v681.tflite','--stats-json',{stats!r}]))"],
+        cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    # wait for it to start producing, then terminate
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(stats):
+        if p.poll() is not None:
+            break
+        time.sleep(0.5)
+    time.sleep(1.0)
+    p.send_signal(signal.SIGTERM)
+    out, err = p.communicate(timeout=120)
+    assert p.returncode == 0, err[-1500:]
+    lines = [json.loads(l) for l in open(stats)]
+    assert lines[-1].get("final") is True
