@@ -229,7 +229,14 @@ class MaskGen:
                 f"(geometry fixed at bs_maskgen_new time, like the reference)")
         if self.fused:
             mask, self.ema = self._step(self.model.params, frame, self.ema)
-            return np.asarray(mask)
+            out = np.asarray(mask)
+            # mask-ready stage hook fires in fused mode too (the reference
+            # fires it after decode, lib/libbackscrub.cc:363-364); prep/infer
+            # hooks need fused=False since the fused dispatch has no
+            # host-visible stage boundaries
+            if self.onmask:
+                self.onmask()
+            return out
         x = self._pre(frame)
         if self.onprep:
             self.onprep()
@@ -250,6 +257,50 @@ class MaskGen:
     def reset(self):
         oh, ow = self.model.output_shape[1:3]
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+
+
+def _c_stage_callback(addr: int, ctx_addr: int) -> Callable[[], None]:
+    """Wrap a raw C function pointer ``void (*)(void *)`` into a Python
+    callable bound to the caller's opaque context pointer — the stage-hook
+    shape of lib/libbackscrub.h:24-30."""
+    import ctypes
+    fn = ctypes.CFUNCTYPE(None, ctypes.c_void_p)(addr)
+    ctx = ctypes.c_void_p(ctx_addr)
+    return lambda: fn(ctx)
+
+
+def _c_debug_callback(addr: int, ctx_addr: int) -> Callable[[str], None]:
+    """Wrap ``void (*)(void *, const char *)`` (the ondebug seam,
+    lib/libbackscrub.h:22-23)."""
+    import ctypes
+    fn = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_char_p)(addr)
+    ctx = ctypes.c_void_p(ctx_addr)
+    return lambda msg: fn(ctx, str(msg).encode("utf-8", "replace"))
+
+
+def maskgen_for_capi(model: str, width: int, height: int,
+                     ondebug_addr: int = 0, onprep_addr: int = 0,
+                     oninfer_addr: int = 0, onmask_addr: int = 0,
+                     caller_ctx_addr: int = 0) -> MaskGen:
+    """Factory used by the embedded-CPython C ABI (native/bs_capi.cc).
+
+    Receives the consumer's raw callback pointers; when either stage hook
+    (onprep/oninfer) is non-null the staged (fused=False) pipeline is
+    selected so all three hooks fire per frame in reference order
+    (lib/libbackscrub.cc:303,311,363).  With only onmask/ondebug set, the
+    fully fused single-dispatch path is kept.
+    """
+    staged = bool(onprep_addr or oninfer_addr)
+    kw = {}
+    if onprep_addr:
+        kw["onprep"] = _c_stage_callback(onprep_addr, caller_ctx_addr)
+    if oninfer_addr:
+        kw["oninfer"] = _c_stage_callback(oninfer_addr, caller_ctx_addr)
+    if onmask_addr:
+        kw["onmask"] = _c_stage_callback(onmask_addr, caller_ctx_addr)
+    if ondebug_addr:
+        kw["ondebug"] = _c_debug_callback(ondebug_addr, caller_ctx_addr)
+    return MaskGen(model, width, height, fused=not staged, **kw)
 
 
 # C-style aliases preserving the reference API shape (lib/libbackscrub.h:13-39)

@@ -30,8 +30,11 @@ const char *bs_tensorflow_version(void);
  * reference binary's OpenCV u8 fixed-point path.
  * threads:   accepted for compatibility; XLA manages device compute.
  * width/height: camera frame geometry.
- * Callbacks (nullable): ondebug(msg), onprep/oninfer/onmask stage hooks
- * (onmask fires per frame; prep/infer are fused into one dispatch).
+ * Callbacks (nullable): ondebug(msg), onprep/oninfer/onmask stage hooks,
+ * all firing per frame in reference order (lib/libbackscrub.cc:303,311,363).
+ * Passing a non-null onprep or oninfer selects the staged pipeline (three
+ * dispatches with host-visible stage boundaries, ~identical masks); with
+ * only onmask/ondebug set, the whole frame runs as one fused dispatch.
  * Returns NULL on failure. */
 void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
                      size_t height,

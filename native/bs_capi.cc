@@ -123,12 +123,23 @@ void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
     delete c;
     return nullptr;
   }
-  PyObject *cls = PyObject_GetAttrString(mod, "MaskGen");
+  // maskgen_for_capi wraps the raw callback pointers into Python callables
+  // and picks staged (fused=False) mode when onprep/oninfer are non-null, so
+  // ALL stage hooks of the reference contract fire (lib/libbackscrub.h:24-30,
+  // invoked at lib/libbackscrub.cc:303,311,363).  With only onmask/ondebug
+  // set, the fully fused single-dispatch path is kept.
+  PyObject *factory = PyObject_GetAttrString(mod, "maskgen_for_capi");
   Py_DECREF(mod);
-  PyObject *obj = cls ? PyObject_CallFunction(cls, "sll", modelname,
-                                              (long)width, (long)height)
-                      : nullptr;
-  Py_XDECREF(cls);
+  PyObject *obj = factory
+      ? PyObject_CallFunction(factory, "sllKKKKK", modelname, (long)width,
+                              (long)height,
+                              (unsigned long long)(uintptr_t)ondebug,
+                              (unsigned long long)(uintptr_t)onprep,
+                              (unsigned long long)(uintptr_t)oninfer,
+                              (unsigned long long)(uintptr_t)onmask,
+                              (unsigned long long)(uintptr_t)caller_ctx)
+      : nullptr;
+  Py_XDECREF(factory);
   if (!obj) {
     dbg(c, ("bs_maskgen_new: " + py_error()).c_str());
     PyGILState_Release(g);
@@ -176,7 +187,8 @@ bool bs_maskgen_process(void *context, const uint8_t *frame, uint8_t *mask) {
     PyGILState_Release(g);
     return false;
   }
-  if (c->onmask) c->onmask(c->caller_ctx);
+  // Stage callbacks (onprep/oninfer/onmask) fire from inside the Python
+  // pipeline (maskgen_for_capi wiring) — no C-side duplicate here.
 
   char *buf = nullptr;
   Py_ssize_t len = 0;

@@ -177,6 +177,10 @@ void *bsio_cap_open(const char *device, int *width, int *height,
   if (ioctl(fd, VIDIOC_REQBUFS, &req) < 0 || req.count < 1) {
     close(fd); return nullptr;
   }
+  // Drivers may grant MORE buffers than requested (vb2 min_buffers_needed);
+  // queueing only a subset of the allocated buffers is legal, but indexing
+  // past bufs[BSIO_MAX_BUFFERS] is not.
+  if (req.count > BSIO_MAX_BUFFERS) req.count = BSIO_MAX_BUFFERS;
 
   bsio_cap_t *c = new bsio_cap_t();
   c->fd = fd;
@@ -185,23 +189,31 @@ void *bsio_cap_open(const char *device, int *width, int *height,
   c->width = *width;
   c->height = *height;
 
+  // Unwind helper: munmap everything mapped so far, then free the handle —
+  // a failed open in a retry loop must not leak mappings.
+  auto fail = [&]() -> void * {
+    for (int j = 0; j < c->n_buffers; ++j)
+      if (c->bufs[j] && c->bufs[j] != MAP_FAILED) munmap(c->bufs[j], c->lens[j]);
+    delete c;
+    close(fd);
+    return nullptr;
+  };
+
   for (int i = 0; i < c->n_buffers; ++i) {
     struct v4l2_buffer buf;
     std::memset(&buf, 0, sizeof(buf));
     buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
     buf.memory = V4L2_MEMORY_MMAP;
     buf.index = i;
-    if (ioctl(fd, VIDIOC_QUERYBUF, &buf) < 0) { delete c; close(fd); return nullptr; }
+    if (ioctl(fd, VIDIOC_QUERYBUF, &buf) < 0) return fail();
     c->bufs[i] = mmap(nullptr, buf.length, PROT_READ | PROT_WRITE,
                       MAP_SHARED, fd, buf.m.offset);
     c->lens[i] = buf.length;
-    if (c->bufs[i] == MAP_FAILED) { delete c; close(fd); return nullptr; }
+    if (c->bufs[i] == MAP_FAILED) return fail();
     ioctl(fd, VIDIOC_QBUF, &buf);
   }
   int type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
-  if (ioctl(fd, VIDIOC_STREAMON, &type) < 0) {
-    delete c; close(fd); return nullptr;
-  }
+  if (ioctl(fd, VIDIOC_STREAMON, &type) < 0) return fail();
   return c;
 #else
   (void)device; (void)width; (void)height; (void)fourcc;

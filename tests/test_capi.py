@@ -53,6 +53,73 @@ def test_maskgen_lifecycle(lib):
     lib.bs_maskgen_delete(ctx)
 
 
+def test_stage_callbacks_fire_in_order_and_match_fused(lib):
+    """onprep/oninfer/onmask all fire per frame through the C ABI
+    (reference contract lib/libbackscrub.h:24-30, invoked at
+    lib/libbackscrub.cc:303,311,363), and the staged-mode masks are
+    identical to fused-mode masks."""
+    path = model_path("segm_lite_v681.tflite").encode()
+    frames = [np.ascontiguousarray(
+        np.random.default_rng(i).integers(0, 256, (48, 64, 3), np.uint8))
+        for i in range(3)]
+
+    counts = {"prep": 0, "infer": 0, "mask": 0}
+    order = []
+    CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+
+    def mk(name):
+        def cb(_ctx):
+            counts[name] += 1
+            order.append(name)
+        return CB(cb)
+
+    onprep, oninfer, onmask = mk("prep"), mk("infer"), mk("mask")
+
+    ctx = lib.bs_maskgen_new(
+        path, 2, 64, 48, None,
+        ctypes.cast(onprep, ctypes.c_void_p),
+        ctypes.cast(oninfer, ctypes.c_void_p),
+        ctypes.cast(onmask, ctypes.c_void_p), None)
+    assert ctx
+    staged_masks = []
+    for frame in frames:
+        mask = np.zeros((48, 64), np.uint8)
+        assert lib.bs_maskgen_process(ctx, frame.ctypes.data, mask.ctypes.data)
+        staged_masks.append(mask)
+    lib.bs_maskgen_delete(ctx)
+
+    assert counts == {"prep": 3, "infer": 3, "mask": 3}
+    assert order == ["prep", "infer", "mask"] * 3
+
+    # fused-mode (no stage hooks) masks must be identical
+    ctx = lib.bs_maskgen_new(path, 2, 64, 48, None, None, None, None, None)
+    assert ctx
+    for frame, staged in zip(frames, staged_masks):
+        mask = np.zeros((48, 64), np.uint8)
+        assert lib.bs_maskgen_process(ctx, frame.ctypes.data, mask.ctypes.data)
+        np.testing.assert_array_equal(mask, staged)
+    lib.bs_maskgen_delete(ctx)
+
+
+def test_onmask_fires_in_fused_mode(lib):
+    """With only onmask set the fused single-dispatch path is kept and the
+    hook still fires per frame."""
+    path = model_path("segm_lite_v681.tflite").encode()
+    hits = []
+    CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+    onmask = CB(lambda _ctx: hits.append(1))
+    ctx = lib.bs_maskgen_new(path, 2, 64, 48, None, None, None,
+                             ctypes.cast(onmask, ctypes.c_void_p), None)
+    assert ctx
+    frame = np.ascontiguousarray(
+        np.random.default_rng(7).integers(0, 256, (48, 64, 3), np.uint8))
+    mask = np.zeros((48, 64), np.uint8)
+    assert lib.bs_maskgen_process(ctx, frame.ctypes.data, mask.ctypes.data)
+    assert lib.bs_maskgen_process(ctx, frame.ctypes.data, mask.ctypes.data)
+    lib.bs_maskgen_delete(ctx)
+    assert len(hits) == 2
+
+
 def test_maskgen_new_failure_returns_null(lib):
     ctx = lib.bs_maskgen_new(b"/no/such/model.tflite", 2, 64, 48,
                              None, None, None, None, None)
