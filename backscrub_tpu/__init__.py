@@ -55,7 +55,7 @@ _enable_compile_cache()
 
 from .graph.executor import CompiledModel, build_model, load_model  # noqa: E402
 from .models.specs import (DEFAULT_MODEL, ModelSpec, resolve_model_path,  # noqa: E402
-                           spec_for_model)
+                           resolve_path, spec_for_model)
 from .pipeline.frame import FramePipeline, PipelineConfig  # noqa: E402
 from .pipeline.maskgen import (MaskGen, bs_maskgen_delete, bs_maskgen_new,  # noqa: E402
                                bs_maskgen_process, bs_tensorflow_version)
@@ -63,7 +63,8 @@ from .runtime.serving import ServingLoop  # noqa: E402
 
 __all__ = [
     "CompiledModel", "build_model", "load_model",
-    "ModelSpec", "spec_for_model", "resolve_model_path", "DEFAULT_MODEL",
+    "ModelSpec", "spec_for_model", "resolve_model_path", "resolve_path",
+    "DEFAULT_MODEL",
     "FramePipeline", "PipelineConfig",
     "MaskGen", "bs_maskgen_new", "bs_maskgen_process", "bs_maskgen_delete",
     "bs_tensorflow_version", "ServingLoop",

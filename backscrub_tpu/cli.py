@@ -189,7 +189,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax.numpy as jnp
     from .io.background import load_background
     from .io.streams import open_sink, open_source
-    from .models.specs import resolve_model_path
+    from .models.specs import resolve_model_path, resolve_path
     from .pipeline.frame import FramePipeline, PipelineConfig
     from .utils.timing import StageTimer
     from .pipeline.maskgen import bs_tensorflow_version
@@ -204,8 +204,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Error: cannot open capture source {cfg['ccam']}: {e}",
               file=sys.stderr)
         return 1
-    cw, ch = source.width, source.height  # adopt granted geometry
+    # adopt granted geometry, warning like the reference (deepseg.cc:554-561)
+    if (source.width, source.height) != (cw, ch):
+        print("Warning: capture device geometry changed from requested values.",
+              file=sys.stderr)
+    cw, ch = source.width, source.height
     vw, vh = cfg["vid_geo"] or (cw, ch)
+    # aspect-ratio mismatch warning (deepseg.cc:567-571; integer math to
+    # avoid comparing doubles, same trick)
+    if vh * cw // ch != vw:
+        print("Warning: virtual camera aspect ratio does not match capture "
+              "device.", file=sys.stderr)
 
     try:
         model_path = resolve_model_path(cfg["model"])
@@ -239,10 +248,15 @@ def main(argv: Optional[List[str]] = None) -> int:
               f"output: {cfg['vcam']} {vw}x{vh}\n"
               f"background: {cfg['background']}", file=sys.stderr)
 
-    background = load_background(cfg["background"], cfg["debug"]) \
+    # background resolves through the 5-step search with type "backgrounds"
+    # (deepseg.cc:541); resolution or load failure -> green fallback
+    # (deepseg.cc:596-603)
+    bg_path = resolve_path(cfg["background"], "backgrounds") \
         if cfg["background"] else None
+    background = load_background(bg_path, cfg["debug"]) if bg_path else None
     if cfg["background"] and background is None:
-        print("Warning: couldn't load background, using green", file=sys.stderr)
+        print("Warning: could not load background image, defaulting to green",
+              file=sys.stderr)
 
     sink = open_sink(cfg["vcam"], vw, vh, out_format=cfg["sink_format"])
     timer = StageTimer()
@@ -300,16 +314,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # HUD mode: synchronous step so the mask/output pair shown
                 # is the frame just processed (debug, not perf-critical)
                 out, mask = pipe.step(frame, bg, **toggles)
+                out_np = np.asarray(out)  # sync: dispatch covers device time
                 timer.mark("dispatch")
-                out_np = np.asarray(out)
                 sink.write_yuyv(out_np)
                 timer.mark("sink")
                 from .io.streams import packed_to_bgr
                 test = packed_to_bgr(out_np, cfg["sink_format"], vw, vh)
+                # decoupled telemetry like the reference's dual FPS
+                # (deepseg.cc:702-719): main = loop rate, AI = model-step rate
                 view = compose_debug_view(
                     test, state, mask=np.asarray(mask),
                     bg_thumb=background.thumbnail() if background else None,
-                    main_fps=timer.fps, ai_fps=timer.fps,
+                    main_fps=timer.fps, ai_fps=timer.stage_fps("dispatch"),
                     cap_geo=(cw, ch), vid_geo=(vw, vh))
                 window.show(view, state)
             else:

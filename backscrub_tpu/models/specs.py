@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
@@ -70,25 +71,88 @@ BUNDLED_MODELS = (
     "body-pix-float-050-8.tflite",
 )
 
-_SEARCH_PATHS = [
-    os.environ.get("BACKSCRUB_PATH", ""),
-    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "models"),
-    os.path.join(os.environ.get("XDG_DATA_HOME", os.path.expanduser("~/.local/share")), "backscrub", "models"),
-    "/root/reference/models",
-]
+_URI_RE = None  # compiled lazily (re import kept out of the module hot path)
+
+
+def _package_root() -> str:
+    """Directory containing the installed/dev package — the Python analog of
+    the reference's "relative to current binary location" step."""
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def search_candidates(provided: str, type_: str) -> list:
+    """The ordered candidate list for steps 2-5 of resolve_path."""
+    candidates = []
+    # 2. $BACKSCRUB_PATH prefixes (colon separated).  The reference appends
+    #    "/<type>/<name>" (app/deepseg.cc:306-314); the bare join is kept as
+    #    a compatibility extension for flat model directories.
+    bsp = os.environ.get("BACKSCRUB_PATH")
+    if bsp:
+        for b in bsp.split(":"):
+            if b:
+                candidates.append(os.path.join(b, type_, provided))
+                candidates.append(os.path.join(b, provided))
+    # 3. XDG standard data location (deepseg.cc:316-320)
+    xdg = os.environ.get("XDG_DATA_HOME") or os.path.expanduser("~/.local/share")
+    candidates.append(os.path.join(xdg, "backscrub", type_, provided))
+    # 4. install prefix (compile-time INSTALL_PREFIX in the reference,
+    #    deepseg.cc:321-324; here the Python environment prefix, overridable)
+    prefix = os.environ.get("BACKSCRUB_INSTALL_PREFIX", sys.prefix)
+    candidates.append(os.path.join(prefix, "share", "backscrub", type_, provided))
+    # 5. relative to the "binary" — the package location (deepseg.cc:326-345):
+    #    installed layout <root>/share/backscrub/<type>/, then dev tree
+    #    <root>/<type>/
+    root = _package_root()
+    candidates.append(os.path.join(root, "share", "backscrub", type_, provided))
+    candidates.append(os.path.join(root, type_, provided))
+    # explicit extra roots for containers/CI (e.g. the mounted reference
+    # assets) — opt-in via env, never hardcoded
+    extra = os.environ.get("BACKSCRUB_TPU_MODELS" if type_ == "models"
+                           else "BACKSCRUB_TPU_BACKGROUNDS")
+    if extra:
+        for b in extra.split(":"):
+            if b:
+                candidates.append(os.path.join(b, provided))
+    return candidates
+
+
+def resolve_path(provided: str, type_: str):
+    """Resource resolution mirroring resolve_path (app/deepseg.cc:292-347).
+
+    Order: URI-scheme passthrough -> literal path -> (stop if the name has
+    path separators) -> $BACKSCRUB_PATH -> $XDG_DATA_HOME/backscrub ->
+    install prefix share/backscrub -> relative-to-package (installed share/
+    layout, then dev tree).  Returns None when nothing matches (the caller
+    decides how to fail, like the reference's std::optional).
+    """
+    global _URI_RE
+    if _URI_RE is None:
+        import re
+        # >= 2 scheme chars so Windows drive letters pass through
+        # (deepseg.cc:295-298)
+        _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+\-.]{1,}:")
+    if _URI_RE.match(provided):
+        return provided
+    # 1. exactly what was provided
+    if os.path.exists(provided):
+        return provided
+    # PATH-like search only applies to bare names (deepseg.cc:303-305)
+    if os.sep in provided:
+        return None
+    for cand in search_candidates(provided, type_):
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def resolve_model_path(name: str) -> str:
-    """Resolve a model name/path, mirroring resolve_path (app/deepseg.cc:292-347):
-    literal path first, then $BACKSCRUB_PATH (colon separated), repo-local
-    ``models/``, XDG data dir, and the mounted reference assets."""
-    if os.path.isabs(name) or os.path.exists(name):
-        return name
-    for base in _SEARCH_PATHS:
-        for b in base.split(":"):
-            if not b:
-                continue
-            cand = os.path.join(b, name)
-            if os.path.exists(cand):
-                return cand
-    raise FileNotFoundError(f"model {name!r} not found in {_SEARCH_PATHS}")
+    """Resolve a model name/path via :func:`resolve_path` with type
+    ``models`` (the reference call site, app/deepseg.cc:540)."""
+    p = resolve_path(name, "models")
+    if p is not None:
+        return p
+    raise FileNotFoundError(
+        f"model {name!r} not found; searched literal path, $BACKSCRUB_PATH, "
+        f"$XDG_DATA_HOME/backscrub/models, <prefix>/share/backscrub/models, "
+        f"and the package tree ({_package_root()}/models). Set "
+        f"BACKSCRUB_PATH or BACKSCRUB_TPU_MODELS to add search roots.")

@@ -45,9 +45,13 @@ def boundary_keys(graph, n_edge: int = 2) -> set:
     most of the fidelity for ~no size cost.
     """
     keys = set()
+    aliases = getattr(graph, "aliases", None) or {}
     for node in list(graph.nodes)[:n_edge] + list(graph.nodes)[-n_edge:]:
         for i in node.inputs:
             keys.add(f"t{i}")
+            # dequant-folded weights may be keyed by their source tensor
+            if i in aliases:
+                keys.add(f"t{aliases[i]}")
     return keys
 
 
@@ -69,8 +73,11 @@ def quantize_params(prepared: Dict[str, np.ndarray],
     for k, v in prepared.items():
         # ndim >= 3: conv/depthwise/transpose kernels. 2-D FC kernels (the
         # SE squeeze/excite blocks) are excluded — tiny, and measurably
-        # quantization-sensitive for mask fidelity.
-        if (k not in exclude and np.issubdtype(v.dtype, np.floating)
+        # quantization-sensitive for mask fidelity.  Kernels live under
+        # variant-suffixed keys ('t289@hwio', 't245@dw', ...): compare the
+        # base tensor key against the exclude set.
+        if (k.split("@")[0] not in exclude
+                and np.issubdtype(v.dtype, np.floating)
                 and v.ndim >= 3 and v.size >= 512):
             w_q, s = quantize_per_channel(v, channel_axis=v.ndim - 1)
             out[k] = w_q

@@ -101,9 +101,20 @@ class DebugWindow:
     NAME = "backscrub-tpu"
 
     def __init__(self):
+        import os
+        import sys
         import cv2
         self._cv2 = cv2
         self.available = True
+        # Probe in layers: some headless cv2 builds don't raise from
+        # namedWindow, so an exception is not a reliable signal.
+        # 1. no display server reachable at all -> headless
+        if (os.name == "posix" and sys.platform != "darwin"
+                and not os.environ.get("DISPLAY")
+                and not os.environ.get("WAYLAND_DISPLAY")):
+            self.available = False
+            return
+        # 2. window creation raising (GUI-less builds) -> headless
         try:
             cv2.namedWindow(self.NAME, cv2.WINDOW_AUTOSIZE)
         except Exception:
@@ -112,8 +123,17 @@ class DebugWindow:
     def show(self, view: np.ndarray, state: DebugState) -> None:
         if not self.available:
             return
-        self._cv2.imshow(self.NAME, view)
-        key = self._cv2.waitKey(1)
+        # 3. builds that create the window but fail at imshow/waitKey:
+        # degrade to headless on first failure instead of crashing the
+        # serve loop
+        try:
+            self._cv2.imshow(self.NAME, view)
+            key = self._cv2.waitKey(1)
+        except Exception:
+            import sys
+            print("debug: display went away, HUD disabled", file=sys.stderr)
+            self.available = False
+            return
         if key >= 0:
             state.handle_key(key)
 

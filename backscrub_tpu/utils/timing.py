@@ -47,6 +47,23 @@ class StageTimer:
             return 0.0
         return 1e9 * len(self._frame_times) / sum(self._frame_times)
 
+    def stage_fps(self, *stages: str) -> float:
+        """Rate the given stage(s) alone could sustain (1 / mean stage time).
+
+        The reference reports a decoupled "AI FPS" next to the main-loop FPS
+        (app/deepseg.cc:702-719) because the inference thread runs at its own
+        rate; here the analogous honest figure is the model-step rate
+        (dispatch[+fetch]) independent of grab/sink time.
+        """
+        total, n = 0, 0
+        for s in stages:
+            h = self._hist[s]
+            total += sum(h)
+            n = max(n, len(h))
+        if n == 0 or total == 0:
+            return 0.0
+        return 1e9 * n / total
+
     def means_ms(self) -> Dict[str, float]:
         return {s: (sum(h) / len(h) / 1e6 if h else 0.0)
                 for s, h in self._hist.items()}
@@ -54,11 +71,18 @@ class StageTimer:
     def report_line(self) -> str:
         m = self.means_ms()
         stages = " ".join(f"{s}:{m[s]:.2f}ms" for s in self.STAGES if m[s] > 0)
-        return f"{stages} FPS:{self.fps:.1f}"
+        line = f"{stages} FPS:{self.fps:.1f}"
+        ai = self.stage_fps("dispatch")
+        if ai > 0:
+            line += f" AiFPS:{ai:.1f}"
+        return line
 
     def report_dict(self) -> Dict[str, float]:
         """Machine-readable snapshot (CLI --stats-json): per-stage mean ms
-        over the window plus the windowed FPS."""
+        over the window plus the windowed FPS (+ decoupled model-step rate)."""
         out = {f"{s}_ms": round(v, 4) for s, v in self.means_ms().items() if v > 0}
         out["fps"] = round(self.fps, 2)
+        ai = self.stage_fps("dispatch")
+        if ai > 0:
+            out["ai_fps"] = round(ai, 2)
         return out

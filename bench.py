@@ -22,10 +22,15 @@ DeepLab (README.md:126,177), ~30 FPS with the Meet models (BASELINE.json
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# This container ships no weights of its own; the mounted reference assets
+# are an explicit extra search root (library code never hardcodes them).
+os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
 
 REF_FPS = 30.0
 WARMUP = 10

@@ -9,6 +9,9 @@ f32 convolutions.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# container's mounted reference assets as an explicit extra search root
+# (inherited by CLI/native subprocess tests; library code never hardcodes it)
+os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -61,6 +61,77 @@ def test_compose_toggles_off():
     assert view.max() == 0  # nothing drawn
 
 
+def test_stage_fps_decoupled_from_loop_fps():
+    """Throttled sink: the AI (dispatch) rate must read higher than the
+    main-loop rate — the reference's dual-FPS semantics (deepseg.cc:702-719)."""
+    from backscrub_tpu.utils.timing import StageTimer
+    t = StageTimer(window=16)
+    now = [0]
+
+    def fake_clock():
+        return now[0]
+
+    import backscrub_tpu.utils.timing as timing
+    orig = timing.time.perf_counter_ns
+    timing.time.perf_counter_ns = fake_clock
+    try:
+        for _ in range(8):
+            t.start()
+            now[0] += 2_000_000   # 2 ms grab
+            t.mark("grab")
+            now[0] += 1_000_000   # 1 ms model step
+            t.mark("dispatch")
+            now[0] += 17_000_000  # 17 ms throttled sink
+            t.mark("sink")
+            t.frame_done()
+    finally:
+        timing.time.perf_counter_ns = orig
+    assert t.stage_fps("dispatch") == pytest.approx(1000.0, rel=1e-6)
+    assert t.fps == pytest.approx(50.0, rel=1e-6)
+    assert t.stage_fps("dispatch") > 2 * t.fps
+    assert "AiFPS:1000.0" in t.report_line()
+    assert t.report_dict()["ai_fps"] == 1000.0
+
+
+def test_debug_window_headless_detection(monkeypatch):
+    """No DISPLAY/WAYLAND_DISPLAY -> unavailable without touching cv2 (some
+    headless builds don't raise from namedWindow)."""
+    from backscrub_tpu.utils.debug_ui import DebugWindow
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    w = DebugWindow()
+    assert not w.available
+    # show/close are safe no-ops when unavailable
+    w.show(np.zeros((8, 8, 3), np.uint8), DebugState())
+    w.close()
+
+
+def test_debug_window_degrades_on_imshow_failure(monkeypatch):
+    """A window that opened but whose display fails at imshow must flip to
+    unavailable instead of crashing the serve loop."""
+    from backscrub_tpu.utils import debug_ui
+
+    class FakeCv2:
+        WINDOW_AUTOSIZE = 1
+
+        def namedWindow(self, *a, **k):
+            pass
+
+        def imshow(self, *a, **k):
+            raise RuntimeError("display went away")
+
+        def destroyWindow(self, *a):
+            pass
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setitem(__import__("sys").modules, "cv2", FakeCv2())
+    w = debug_ui.DebugWindow()
+    assert w.available
+    w.show(np.zeros((8, 8, 3), np.uint8), DebugState())
+    assert not w.available  # degraded, no exception escaped
+    w.close()
+
+
 def test_runtime_toggle_variants_pipeline():
     """filter off / flips produce distinct outputs via cached jit variants."""
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig

@@ -35,6 +35,27 @@ def test_int8_model_params_shrink():
     assert "int8" in kinds
 
 
+def test_boundary_exclude_matches_variant_keys(rng):
+    """Edge-layer protection must match the variant-suffixed kernel keys
+    ('t289@hwio' etc.) — regression for the inert-exclude bug."""
+    from backscrub_tpu.quant.ptq import boundary_keys, quantize_params
+    from backscrub_tpu.tflite.loader import load_tflite
+    from backscrub_tpu.graph.executor import fold_constants
+    p = model_path("segm_lite_v681.tflite")
+    graph = fold_constants(load_tflite(p))
+    excl = boundary_keys(graph)
+    # the first conv's kernel and the transpose-conv logit kernel must be
+    # covered by the exclude set under their variant-suffixed storage keys
+    assert {"t289", "t318"} <= excl
+    big = rng.standard_normal((3, 3, 64, 64)).astype(np.float32)
+    prepared = {"t289@hwio": big.copy(), "t318@tconv": big.copy(),
+                "t999@hwio": big.copy()}
+    out, scales = quantize_params(prepared, {}, exclude=excl)
+    assert out["t289@hwio"].dtype == np.float32  # protected
+    assert out["t318@tconv"].dtype == np.float32  # protected
+    assert out["t999@hwio"].dtype == np.int8 and "t999@hwio" in scales
+
+
 def test_int8_decode_agreement(rng):
     p = model_path("segm_lite_v681.tflite")
     m32 = load_model(p)
