@@ -11,9 +11,76 @@ Sinks:                  /dev/video1 | file:out.mp4 | file:out.yuv | null:
 
 from __future__ import annotations
 
-from typing import Optional
+import threading
+from typing import Callable, Optional
 
 import numpy as np
+
+
+class LatestFrameReader:
+    """Runs a blocking read/decode callable in its own thread, keeping only
+    the newest result — the host-thread analog of bsio's kernel-side queue
+    drain and the reference's CalcMask frame_next overwrite
+    (app/deepseg.cc:272-277).
+
+    ``read()`` blocks until a frame NEWER than the last one returned is
+    available (so the consumer paces at the camera rate, like the
+    reference's blocking grab), but the expensive decode (e.g. cv2.imdecode
+    for MJPG cameras) happens in this thread, overlapped with the consumer's
+    device dispatch instead of serialized with it.  ``read_fn`` returning
+    None or raising marks EOF; read() then returns None.
+    """
+
+    def __init__(self, read_fn: Callable[[], Optional[np.ndarray]]):
+        self._fn = read_fn
+        self._cond = threading.Condition()
+        self._frame: Optional[np.ndarray] = None
+        self._seq = 0
+        self._last = 0
+        self._eof = False
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="bs-frame-reader")
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                f = self._fn()
+            except Exception:
+                f = None
+            with self._cond:
+                if f is None or self._stop:
+                    self._eof = True
+                    self._cond.notify_all()
+                    return
+                self._frame = f
+                self._seq += 1
+                self._cond.notify_all()
+        with self._cond:
+            self._eof = True
+            self._cond.notify_all()
+
+    def read(self, timeout: Optional[float] = None) -> Optional[np.ndarray]:
+        with self._cond:
+            if not self._cond.wait_for(
+                    lambda: self._seq > self._last or self._eof,
+                    timeout=timeout):
+                return None
+            if self._seq == self._last:  # EOF with nothing newer
+                return None
+            self._last = self._seq
+            return self._frame
+
+    def close(self):
+        self._stop = True
+        # the thread may be blocked inside read_fn; the owner should close
+        # the underlying device after this call to unblock it
+        with self._cond:
+            self._cond.notify_all()
+
+    def join(self, timeout: float = 1.0):
+        self._thread.join(timeout)
 
 
 class FrameSource:
@@ -28,9 +95,18 @@ class FrameSource:
 
 
 class CameraSource(FrameSource):
-    """V4L2 camera through the native shim (fallback: OpenCV)."""
+    """V4L2 camera through the native shim (fallback: OpenCV).
 
-    def __init__(self, device: str, width: int, height: int, pixfmt: str = ""):
+    MJPG cameras need a host JPEG decode per frame; that decode runs in a
+    :class:`LatestFrameReader` thread so it overlaps device dispatch instead
+    of serializing with it (MJPG is the common high-res webcam format, and
+    at north-star rates an inline ~5 ms imdecode would dominate the loop).
+    YUYV/NV12 cameras bypass this: their raw payload uploads verbatim and
+    decodes on device (read_raw).
+    """
+
+    def __init__(self, device: str, width: int, height: int, pixfmt: str = "",
+                 prefetch: Optional[bool] = None):
         from .v4l2 import V4L2Capture
         try:
             self.cap = V4L2Capture(device, width, height, pixfmt)
@@ -49,6 +125,10 @@ class CameraSource(FrameSource):
             self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self._native = False
+        if prefetch is None:
+            prefetch = (self._native
+                        and self.cap.pixelformat in ("MJPG", "JPEG"))
+        self._reader = LatestFrameReader(self._read_sync) if prefetch else None
 
     @property
     def raw_format(self):
@@ -58,11 +138,16 @@ class CameraSource(FrameSource):
             return None
         return {"YUYV": "yuyv", "NV12": "nv12"}.get(self.cap.pixelformat)
 
-    def read(self):
+    def _read_sync(self):
         if self._native:
             return self.cap.grab_bgr()
         ok, frame = self.cap.read()
         return frame if ok else None
+
+    def read(self):
+        if self._reader is not None:
+            return self._reader.read()
+        return self._read_sync()
 
     def read_raw(self):
         """Raw camera bytes — (H, 2W) u8 for YUYV, (3H/2, W) u8 for NV12 —
@@ -78,7 +163,12 @@ class CameraSource(FrameSource):
         return raw.reshape(shape).copy()
 
     def close(self):
+        if self._reader is not None:
+            self._reader.close()
+        # closing the device unblocks a reader thread stuck in grab
         self.cap.release() if not self._native else self.cap.close()
+        if self._reader is not None:
+            self._reader.join()
 
 
 class FileSource(FrameSource):

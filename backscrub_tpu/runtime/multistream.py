@@ -105,9 +105,13 @@ class MultiStreamServer:
                  sinks: Sequence[Callable[[np.ndarray], None]],
                  backgrounds=None, threaded: bool = False, depth: int = 2,
                  stall_timeout: Optional[float] = None):
-        if len(sources) != ms.n_streams or len(sinks) != ms.n_streams:
+        # Fewer sources than batch slots is allowed: the tail slots are
+        # padding (they ride the static-shape batch but never deliver) —
+        # this is how geometry buckets with stream counts that don't divide
+        # the mesh data axis are served (MultiGeometryServer).
+        if len(sources) > ms.n_streams or len(sinks) != len(sources):
             raise ValueError(
-                f"need exactly {ms.n_streams} sources and sinks "
+                f"need at most {ms.n_streams} sources with matching sinks "
                 f"(got {len(sources)}/{len(sinks)})")
         if depth < 1:
             raise ValueError("depth must be >= 1")
@@ -124,20 +128,21 @@ class MultiStreamServer:
             self._shape = (cfg.height * 3 // 2, cfg.width)
         else:
             self._shape = (cfg.height, cfg.width, 3)
+        self.n_real = len(self.sources)  # slots beyond this are padding
         self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)
-        self._live = [True] * ms.n_streams
-        self._ever = [False] * ms.n_streams  # produced at least one frame
+        self._live = [True] * self.n_real
+        self._ever = [False] * self.n_real  # produced at least one frame
         self._readers: Optional[List[_Reader]] = None
         # static backgrounds upload once; callables re-evaluate per tick
         self.backgrounds = backgrounds
         if backgrounds is not None and not callable(backgrounds):
-            self.backgrounds = jax.device_put(np.asarray(backgrounds),
-                                              ms._batch_sharding)
+            self.backgrounds = jax.device_put(
+                self._pad_batch(np.asarray(backgrounds)), ms._batch_sharding)
         self._ring: collections.deque = collections.deque()
 
     # -- one gather: fill self._frames, return per-stream "fresh" flags ----
     def _gather_pull(self) -> List[bool]:
-        fresh = [False] * self.ms.n_streams
+        fresh = [False] * self.n_real
         for s, src in enumerate(self.sources):
             if not self._live[s]:
                 continue
@@ -155,7 +160,7 @@ class MultiStreamServer:
 
     def _gather_threaded(self) -> List[bool]:
         assert self._readers is not None
-        fresh = [False] * self.ms.n_streams
+        fresh = [False] * self.n_real
         for s, r in enumerate(self._readers):
             if not self._live[s]:
                 continue
@@ -169,10 +174,18 @@ class MultiStreamServer:
                 self._live[s] = False
         return fresh
 
+    def _pad_batch(self, b: np.ndarray) -> np.ndarray:
+        """Extend a per-real-stream batch to the full slot count (padding
+        slots get zeros; they are never delivered)."""
+        if b.shape[0] >= self.ms.n_streams:
+            return b
+        pad = np.zeros((self.ms.n_streams - b.shape[0],) + b.shape[1:], b.dtype)
+        return np.concatenate([b, pad])
+
     def _background_batch(self):
         bgs = self.backgrounds
         if callable(bgs):
-            bgs = bgs()
+            bgs = self._pad_batch(np.asarray(bgs()))
         return bgs
 
     # -- async result ring --------------------------------------------------
@@ -191,22 +204,54 @@ class MultiStreamServer:
                 if deliver[s]:
                     sink(out_np[s])
 
-    def run(self, frames: int = 0) -> int:
-        """Serve until every stream ends (or ``frames`` ticks, or a full
-        stall in threaded mode).  Returns the number of batched dispatches."""
-        if self.threaded:
+    def start(self):
+        """Spawn reader threads (threaded mode); idempotent."""
+        if self.threaded and self._readers is None:
             self._readers = [_Reader(s) for s in self.sources]
             for r in self._readers:
                 r.thread.start()
+
+    def tick(self) -> Optional[bool]:
+        """One gather -> dispatch -> drain cycle.
+
+        Returns True when a batch was dispatched, False when nothing new
+        arrived (threaded idle), None when every stream is done."""
+        fresh = (self._gather_threaded() if self.threaded
+                 else self._gather_pull())
+        if not any(self._live):
+            return None
+        if self.threaded and not any(fresh):
+            return False
+        out, _masks = self.ms.step(self._frames, self._background_batch())
+        # deliver to live streams that have really produced frames; in pull
+        # mode only fresh ones (a stream at EOF mid-batch must not repeat
+        # its last frame)
+        deliver = [self._live[s] and self._ever[s] and
+                   (fresh[s] or self.threaded)
+                   for s in range(self.n_real)]
+        self._submit(out, deliver)
+        self._drain()
+        return True
+
+    def finish(self):
+        """Flush the result ring and stop reader threads."""
+        self._drain(force=True)
+        if self._readers is not None:
+            for r in self._readers:
+                r.stop()
+
+    def run(self, frames: int = 0) -> int:
+        """Serve until every stream ends (or ``frames`` ticks, or a full
+        stall in threaded mode).  Returns the number of batched dispatches."""
+        self.start()
         ticks = 0
         last_fresh = time.monotonic()
         try:
             while frames == 0 or ticks < frames:
-                fresh = (self._gather_threaded() if self.threaded
-                         else self._gather_pull())
-                if not any(self._live):
+                r = self.tick()
+                if r is None:
                     break
-                if self.threaded and not any(fresh):
+                if r is False:
                     # nothing new anywhere: yield instead of burning the core
                     # (and the GIL the reader threads need)
                     if (self.stall_timeout is not None and
@@ -215,20 +260,92 @@ class MultiStreamServer:
                     time.sleep(0.001)
                     continue
                 last_fresh = time.monotonic()
-                out, _masks = self.ms.step(self._frames,
-                                           self._background_batch())
-                # deliver to live streams that have really produced frames;
-                # in pull mode only fresh ones (a stream at EOF mid-batch
-                # must not repeat its last frame)
-                deliver = [self._live[s] and self._ever[s] and
-                           (fresh[s] or self.threaded)
-                           for s in range(self.ms.n_streams)]
-                self._submit(out, deliver)
-                self._drain()
                 ticks += 1
         finally:
-            self._drain(force=True)
-            if self._readers is not None:
-                for r in self._readers:
-                    r.stop()
+            self.finish()
+        return ticks
+
+
+class MultiGeometryServer:
+    """Serve streams of DIFFERENT geometries in one server.
+
+    The fused batch program needs static shapes, so streams are bucketed by
+    (width, height); each bucket gets its own :class:`MultiStreamPipeline`
+    (batch rounded up to the mesh data-axis size — padding slots ride the
+    batch but never deliver) and the buckets' dispatches interleave every
+    tick.  JAX's async dispatch pipelines the bucket programs back-to-back
+    on device, so G geometries cost G dispatches per tick, not G processes —
+    this closes the per-stream-geometry gap vs N independent reference
+    processes (app/deepseg.cc:627-804).  Per-stream outputs are
+    bit-identical to running that stream alone (tested).
+
+    ``streams``: sequence of (source, sink, width, height[, background])
+    tuples; ``background`` is an optional static (height, width, 3) BGR u8
+    array (None = green screen).
+    """
+
+    def __init__(self, model: str, config, streams: Sequence[tuple],
+                 mesh, *, threaded: bool = False, depth: int = 2,
+                 stall_timeout: Optional[float] = None, **pipe_kwargs):
+        import dataclasses
+        import math
+
+        groups = {}
+        for entry in streams:
+            src, sink, w, h = entry[:4]
+            bg = entry[4] if len(entry) > 4 else None
+            groups.setdefault((w, h), []).append((src, sink, bg))
+        data_axis = mesh.shape["data"]
+        self.servers: List[MultiStreamServer] = []
+        for (w, h), members in groups.items():
+            cfg = dataclasses.replace(config, width=w, height=h,
+                                      out_width=w, out_height=h)
+            n_slots = math.ceil(len(members) / data_axis) * data_axis
+            ms = MultiStreamPipeline(model, cfg, n_slots, mesh, **pipe_kwargs)
+            bgs = None
+            if any(m[2] is not None for m in members):
+                green = np.asarray(ms.pipe.green)
+                bgs = np.stack([m[2] if m[2] is not None else green
+                                for m in members])
+            self.servers.append(MultiStreamServer(
+                ms, [m[0] for m in members], [m[1] for m in members],
+                backgrounds=bgs, threaded=threaded, depth=depth,
+                stall_timeout=stall_timeout))
+        self.stall_timeout = stall_timeout
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.servers)
+
+    def run(self, frames: int = 0) -> int:
+        """Serve all geometry buckets; returns interleaved tick count."""
+        for s in self.servers:
+            s.start()
+        alive = [True] * len(self.servers)
+        ticks = 0
+        last_fresh = time.monotonic()
+        try:
+            while frames == 0 or ticks < frames:
+                dispatched = False
+                for i, s in enumerate(self.servers):
+                    if not alive[i]:
+                        continue
+                    r = s.tick()
+                    if r is None:
+                        alive[i] = False
+                    elif r:
+                        dispatched = True
+                if not any(alive):
+                    break
+                if not dispatched:
+                    if (self.stall_timeout is not None and
+                            time.monotonic() - last_fresh > self.stall_timeout):
+                        break
+                    time.sleep(0.001)
+                    continue
+                last_fresh = time.monotonic()
+                ticks += 1
+        finally:
+            for s in self.servers:
+                s.finish()
         return ticks

@@ -72,16 +72,20 @@ def measure(pipe, w, h, iters=ITERS, bg_frames=None):
         out, _, ema = step(params, frames[i % 4], bg_frames[i % len(bg_frames)], ema)
     jax.block_until_ready(out)
 
-    # best-of-3: the dispatch path in this container goes through a shared
-    # tunnel with high variance; sustained device throughput is the max
-    fps = 0.0
+    # 3 repetitions: the dispatch path in this container goes through a
+    # shared tunnel with high variance.  The max is the best estimate of
+    # sustained device throughput (tunnel hiccups only subtract); the median
+    # is reported alongside as the conservative figure.
+    reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             out, _, ema = step(params, frames[i % 4], bg_frames[i % len(bg_frames)], ema)
         jax.block_until_ready((out, ema))
         dt = time.perf_counter() - t0
-        fps = max(fps, iters / dt)
+        reps.append(iters / dt)
+    fps = max(reps)
+    fps_median = float(np.median(reps))
 
     lats = []
     for i in range(50):
@@ -90,7 +94,7 @@ def measure(pipe, w, h, iters=ITERS, bg_frames=None):
         jax.block_until_ready(out)
         lats.append(1000 * (time.perf_counter() - t1))
     pipe.maskgen.ema = ema
-    return fps, float(np.percentile(lats, 50))
+    return fps, float(np.percentile(lats, 50)), fps_median
 
 
 def transfer_diag(pipe, w, h):
@@ -190,12 +194,151 @@ def run_batch_config(name):
                       "p50_ms": None}))
 
 
+E2E_CONFIGS = {
+    # depth, staging.  "serial" drains synchronously after every submit —
+    # the un-overlapped baseline the pipelined depths must beat.
+    "e2e_720p_serial": (0, False),
+    "e2e_720p_servingloop_d1": (1, False),
+    "e2e_720p_servingloop_d2": (2, False),
+    "e2e_720p_servingloop_d3": (3, False),
+    "e2e_720p_servingloop_d3_staged": (3, True),
+}
+
+E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "1000"))
+E2E_WALL_CAP_S = float(os.environ.get("BENCH_E2E_WALL_CAP_S", "420"))
+# tunnel-day insurance; the record reports the actual frame count
+
+
+def run_e2e_config(name):
+    """MEASURED end-to-end throughput: host frame bytes in -> ServingLoop
+    (real per-frame host->HBM upload, fused step, HBM->host download) ->
+    sink callback, sustained.  This is the BASELINE north star's "sustained
+    end-to-end" wording measured directly instead of estimated from separate
+    transfer timings; per-frame latency = submit->sink-delivery time.
+    """
+    import jax
+    from backscrub_tpu.runtime.serving import ServingLoop
+
+    depth, staging = E2E_CONFIGS[name]
+    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
+    rng = np.random.default_rng(3)
+    # 8 distinct host frames so uploads can't be cached/deduped
+    host = [rng.integers(0, 256, (720, 1280, 3), np.uint8) for _ in range(8)]
+    bg = jax.device_put(host[0])  # background is static: uploaded once
+
+    submit_t = []
+    deliver_t = []
+    sunk_bytes = [0]
+
+    def sink(arr: np.ndarray):
+        sunk_bytes[0] += arr.nbytes
+        deliver_t.append(time.perf_counter())
+
+    loop = ServingLoop(pipe, depth=max(depth, 1), staging=staging)
+
+    def one_frame(i):
+        submit_t.append(time.perf_counter())
+        loop.submit(host[i % 8], bg)
+        if depth == 0:
+            loop.drain_all(sink)   # synchronous: no overlap
+        else:
+            loop.drain_ready(sink)
+
+    for i in range(20):  # warmup: compile + fill the ring
+        one_frame(i)
+    loop.drain_all(sink)
+    submit_t.clear(); deliver_t.clear()
+
+    n = 0
+    t0 = time.perf_counter()
+    while n < E2E_FRAMES and time.perf_counter() - t0 < E2E_WALL_CAP_S:
+        one_frame(n)
+        n += 1
+    loop.drain_all(sink)
+    dt = time.perf_counter() - t0
+
+    lats = 1000.0 * (np.array(deliver_t) - np.array(submit_t[:len(deliver_t)]))
+    print(json.dumps({
+        "config": name, "fps": round(n / dt, 2), "p50_ms": None,
+        "frames": n, "depth": depth, "staging": staging,
+        "sink_p50_ms": round(float(np.percentile(lats, 50)), 2),
+        "sink_p99_ms": round(float(np.percentile(lats, 99)), 2),
+        "host_mb_per_s": round(sunk_bytes[0] / dt / 1e6, 1),
+    }))
+
+
+def run_mjpg_config(name):
+    """Synthetic MJPG camera: per-frame host JPEG decode either inline
+    (serialized with dispatch, the old CameraSource behavior) or in a
+    LatestFrameReader thread (overlapped).  Evidence that MJPG decode is off
+    the critical path; reference negotiates MJPG via -f (deepseg.cc:543-570).
+    """
+    import cv2
+    import jax
+    from backscrub_tpu.io.streams import LatestFrameReader
+    from backscrub_tpu.runtime.serving import ServingLoop
+
+    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
+    rng = np.random.default_rng(4)
+    jpegs = []
+    for _ in range(8):
+        ok, buf = cv2.imencode(".jpg", rng.integers(0, 256, (720, 1280, 3),
+                                                    np.uint8))
+        assert ok
+        jpegs.append(buf)
+    bg = jax.device_put(rng.integers(0, 256, (720, 1280, 3), np.uint8))
+    frames = min(E2E_FRAMES, 400)
+    sink_count = [0]
+
+    def sink(arr):
+        sink_count[0] += 1
+
+    def run(prefetch: bool) -> float:
+        loop = ServingLoop(pipe, depth=3)
+        idx = [0]
+
+        def decode():  # endless synthetic camera; one JPEG decode per frame
+            i = idx[0]
+            idx[0] += 1
+            return cv2.imdecode(jpegs[i % 8], cv2.IMREAD_COLOR)
+
+        reader = LatestFrameReader(decode) if prefetch else None
+        read = (lambda: reader.read(timeout=5.0)) if prefetch else decode
+        for _ in range(20):  # warmup/compile
+            loop.submit(read(), bg)
+            loop.drain_ready(sink)
+        t0 = time.perf_counter()
+        n = 0
+        while n < frames:
+            loop.submit(read(), bg)
+            loop.drain_ready(sink)
+            n += 1
+        loop.drain_all(sink)
+        dt = time.perf_counter() - t0
+        if reader is not None:
+            reader.close()
+        return n / dt
+
+    fps_inline = run(prefetch=False)
+    fps_prefetch = run(prefetch=True)
+    print(json.dumps({
+        "config": name, "fps": round(fps_prefetch, 2), "p50_ms": None,
+        "fps_inline_decode": round(fps_inline, 2),
+        "overlap_gain": round(fps_prefetch / fps_inline, 3),
+        "frames": frames,
+    }))
+
+
 def run_one_config(name):
     """Measure one named config; prints a JSON line.  Run in a fresh
     process: the tunnel's dispatch queue degrades after multiple pipelines
     in one process, underestimating later configs by ~10x."""
     if name in BATCH_CONFIGS:
         return run_batch_config(name)
+    if name in E2E_CONFIGS:
+        return run_e2e_config(name)
+    if name == "e2e_720p_mjpg":
+        return run_mjpg_config(name)
     import cv2
     import jax as _jax
     import jax.numpy as _jnp
@@ -218,30 +361,39 @@ def run_one_config(name):
             bgs.append(cv2.resize(f, (w, h)))
         cap.release()
         bg_frames = bgs or None
-    fps, p50 = measure(pipe, w, h, iters=300, bg_frames=bg_frames)
+    fps, p50, fps_med = measure(pipe, w, h, iters=300, bg_frames=bg_frames)
     print(json.dumps({"config": name, "fps": round(fps, 1),
+                      "fps_median": round(fps_med, 1),
                       "p50_ms": round(p50, 3)}))
 
 
-def run_config_sweep():
+def run_config_sweep(names=None, merge=False):
     """BASELINE.json configs, one subprocess per config (fresh dispatch
     queue each; the persistent XLA cache keeps re-compiles cheap)."""
     import subprocess
     results = {}
+    if merge and os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as f:
+            results = json.load(f)
 
-    for name in list(BATCH_CONFIGS) + [c[0] for c in CONFIGS]:
+    if names is None:
+        names = (list(BATCH_CONFIGS) + [c[0] for c in CONFIGS]
+                 + list(E2E_CONFIGS) + ["e2e_720p_mjpg"])
+    for name in names:
         try:
             r = subprocess.run([sys.executable, __file__, "--config", name],
                                capture_output=True, text=True, timeout=900)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
             rec = json.loads(line)
-            results[name] = {"fps": rec["fps"], "p50_ms": rec["p50_ms"]}
-            p50s = (f"p50 {rec['p50_ms']:6.3f} ms" if rec["p50_ms"] is not None
-                    else "(aggregate)")
-            print(f"  {name:28s} {rec['fps']:10.1f} fps   {p50s}", file=sys.stderr)
+            results[name] = {k: v for k, v in rec.items() if k != "config"}
+            p50s = (f"p50 {rec['p50_ms']:6.3f} ms" if rec.get("p50_ms") is not None
+                    else ("sink p50 %.1f ms p99 %.1f ms" % (rec["sink_p50_ms"],
+                          rec["sink_p99_ms"]) if "sink_p50_ms" in rec
+                          else "(aggregate)"))
+            print(f"  {name:30s} {rec['fps']:10.1f} fps   {p50s}", file=sys.stderr)
         except Exception as e:  # keep the sweep robust
             results[name] = {"error": str(e)[:200]}
-            print(f"  {name:28s} ERROR {e}", file=sys.stderr)
+            print(f"  {name:30s} ERROR {e}", file=sys.stderr)
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=1)
     return results
@@ -303,19 +455,26 @@ def main():
     if "--profile" in sys.argv:
         run_profile()
         return
+    if "--e2e" in sys.argv:
+        # measured end-to-end sweep only; merges into BENCH_DETAILS.json
+        run_config_sweep(names=list(E2E_CONFIGS) + ["e2e_720p_mjpg"],
+                         merge=True)
+        return
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
     W, H = 1280, 720
     pipe = build_pipe("segm_lite_v681.tflite", W, H)
-    fps, p50 = measure(pipe, W, H)
+    fps, p50, fps_med = measure(pipe, W, H)
     up_ms, down_ms, pin_up, pin_down = transfer_diag(pipe, W, H)
     e2e_ms = 1000.0 / fps + max(up_ms, down_ms)
-    print(f"device pipeline: {fps:.1f} fps ({1000.0/fps:.3f} ms/frame), "
+    print(f"device pipeline: {fps:.1f} fps max / {fps_med:.1f} fps median "
+          f"({1000.0/fps:.3f} ms/frame), "
           f"p50 blocking latency {p50:.3f} ms (target < 5)", file=sys.stderr)
     print(f"transfers: up {up_ms:.1f} ms, down(async) {down_ms:.1f} ms "
           f"(pinned-staged: up {pin_up:.1f} ms, down {pin_down:.1f} ms) "
-          f"-> est e2e {1000.0/e2e_ms:.1f} fps through this container's tunnel",
+          f"-> serial e2e estimate {1000.0/e2e_ms:.1f} fps through this "
+          f"container's tunnel (measured pipelined e2e: --e2e / --all)",
           file=sys.stderr)
 
     if "--all" in sys.argv:
@@ -327,6 +486,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / REF_FPS, 2),
+        "median_fps": round(fps_med, 2),
     }))
 
 

@@ -102,6 +102,88 @@ def test_file_source_video_loops():
     src.close()
 
 
+def test_latest_frame_reader_paces_and_eofs():
+    """Consumer gets each frame at most once, in order, None at EOF."""
+    from backscrub_tpu.io.streams import LatestFrameReader
+    import time as _time
+
+    counter = [0]
+
+    def produce():
+        if counter[0] >= 20:
+            return None
+        counter[0] += 1
+        _time.sleep(0.002)
+        return np.full((2, 2), counter[0], np.uint8)
+
+    r = LatestFrameReader(produce)
+    seen = []
+    while True:
+        f = r.read(timeout=2.0)
+        if f is None:
+            break
+        seen.append(int(f[0, 0]))
+    r.close()
+    r.join()
+    assert seen, "no frames delivered"
+    assert seen == sorted(set(seen)), "stale or duplicate frame delivered"
+    assert seen[-1] == 20 or len(seen) < 20  # fast producer may be skipped
+
+
+def test_latest_frame_reader_skips_to_newest():
+    """A slow consumer sees the newest frame, not a backlog."""
+    from backscrub_tpu.io.streams import LatestFrameReader
+    import time as _time
+
+    counter = [0]
+
+    def produce():
+        if counter[0] >= 50:
+            return None
+        counter[0] += 1
+        return np.full((1,), counter[0], np.uint8)
+
+    r = LatestFrameReader(produce)
+    _time.sleep(0.2)  # let the producer run ahead to EOF
+    first = r.read(timeout=2.0)
+    assert first is not None and int(first[0]) == 50
+    assert r.read(timeout=2.0) is None  # nothing newer, EOF
+    r.close()
+
+
+def test_latest_frame_reader_overlaps_decode():
+    """Decode in the reader thread overlaps consumer 'dispatch' work: total
+    wall time is well under the serialized sum (the MJPG critical-path fix)."""
+    from backscrub_tpu.io.streams import LatestFrameReader
+    import time as _time
+
+    N, DECODE_S, WORK_S = 10, 0.02, 0.02
+    counter = [0]
+
+    def produce():
+        if counter[0] >= N:
+            return None
+        counter[0] += 1
+        _time.sleep(DECODE_S)  # synthetic imdecode
+        return np.full((1,), counter[0], np.uint8)
+
+    r = LatestFrameReader(produce)
+    t0 = _time.perf_counter()
+    got = 0
+    while True:
+        f = r.read(timeout=2.0)
+        if f is None:
+            break
+        _time.sleep(WORK_S)  # synthetic device dispatch
+        got += 1
+    elapsed = _time.perf_counter() - t0
+    r.close()
+    serial = N * (DECODE_S + WORK_S)
+    assert got >= N // 2
+    assert elapsed < 0.8 * serial, \
+        f"decode serialized with dispatch: {elapsed:.3f}s vs serial {serial:.3f}s"
+
+
 def test_null_sink_counts():
     sink = open_sink("null:", 64, 48)
     assert isinstance(sink, NullFrameSink)

@@ -73,6 +73,67 @@ def test_multistream_yuyv_ingest(rng):
 
 
 @needs_8
+def test_multigeometry_server_bit_identical_to_solo(rng):
+    """Two different stream geometries served by ONE server, per-stream
+    outputs bit-identical to solo runs (VERDICT: replaces N reference
+    processes each with their own geometry, app/deepseg.cc:627-804)."""
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    N = 3
+    geos = [(64, 48), (128, 96)]
+    frames = {g: [rng.integers(0, 256, (g[1], g[0], 3), np.uint8)
+                  for _ in range(N)] for g in geos}
+    bgs = {g: rng.integers(0, 256, (g[1], g[0], 3), np.uint8) for g in geos}
+
+    def make_source(seq):
+        it = iter(seq)
+        return lambda: next(it, None)
+
+    outs = {g: [] for g in geos}
+    streams = [(make_source(frames[g]), outs[g].append, g[0], g[1], bgs[g])
+               for g in geos]
+    server = MultiGeometryServer(path, cfg, streams, mesh)
+    assert server.n_groups == 2
+    ticks = server.run()
+    assert ticks == N
+
+    for (w, h) in geos:
+        assert len(outs[(w, h)]) == N
+        solo = FramePipeline(path, PipelineConfig(width=w, height=h,
+                                                  use_bilateral=False))
+        for i in range(N):
+            out_s, _ = solo.step(frames[(w, h)][i], bgs[(w, h)])
+            np.testing.assert_array_equal(outs[(w, h)][i], np.asarray(out_s))
+
+
+@needs_8
+def test_multistream_padding_slots_never_deliver(rng):
+    """Fewer sources than batch slots: padding slots ride the batch but
+    deliver nothing, and real streams stay bit-identical to solo."""
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]  # slots
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    N = 2
+    seq = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(N)]
+    it = iter(seq)
+    got = []
+    server = MultiStreamServer(ms, [lambda: next(it, None)], [got.append])
+    server.run()
+    assert len(got) == N
+    solo = FramePipeline(path, cfg)
+    for i in range(N):
+        out_s, _ = solo.step(seq[i], None)
+        np.testing.assert_array_equal(got[i], np.asarray(out_s))
+
+
+@needs_8
 def test_multistream_requires_divisible():
     path = model_path("segm_lite_v681.tflite")
     mesh = make_mesh(8)
