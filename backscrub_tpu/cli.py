@@ -235,6 +235,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         input_format=raw_fmt if raw_ingest else "bgr",
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
     )
+    if cfg["int8"]:
+        # Measured on TPU v5e (BENCH_DETAILS.json, README "int8 verdict"):
+        # weight-only int8 runs ~0.6x the f32 pipeline (on-the-fly dequant
+        # dominates; these models' weights already fit in VMEM) and XLA's
+        # s8xs8->s32 convs are ~2.7x slower than f32 HIGHEST on this chip.
+        # The flag stays for memory-constrained embedding scenarios.
+        print("Warning: --int8 is slower than f32 on this TPU generation "
+              "(~0.6x, see README); use --bf16 for the fast path",
+              file=sys.stderr)
     pipe = FramePipeline(
         model_path, pcfg,
         compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,
