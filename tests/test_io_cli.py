@@ -262,6 +262,41 @@ def test_fourcc():
     assert fourcc("MJPG") == 0x47504A4D
 
 
+def test_cli_multi_stream_spec_parsing():
+    from backscrub_tpu.cli_multi import parse_args, parse_stream_spec
+    s = parse_stream_spec("src=test:,sink=null:,geo=640x480")
+    assert s == {"src": "test:", "sink": "null:", "geo": (640, 480)}
+    with pytest.raises(ValueError):
+        parse_stream_spec("src=test:,geo=640x480")  # missing sink
+    with pytest.raises(ValueError):
+        parse_stream_spec("src=test:,sink=null:,geo=banana")
+    cfg = parse_args(["--stream", "src=test:,sink=null:,geo=64x48",
+                      "--threaded", "--frames", "7"])
+    assert len(cfg["streams"]) == 1 and cfg["threaded"] and cfg["frames"] == 7
+    with pytest.raises(ValueError):
+        parse_args([])  # no streams
+
+
+def test_cli_multi_two_geometries_headless(tmp_path):
+    """Two test: streams with different geometries through one process;
+    .yuv sinks get the right frame counts and sizes."""
+    out1 = tmp_path / "a.yuv"
+    out2 = tmp_path / "b.yuv"
+    r = subprocess.run(
+        [sys.executable, "-m", "backscrub_tpu.cli_multi",
+         "-m", "segm_lite_v681.tflite", "--frames", "3",
+         "--stream", f"src=test:,sink=file:{out1},geo=64x48",
+         "--stream", f"src=test:,sink=file:{out2},geo=96x64"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "BACKSCRUB_TPU_PLATFORM": "cpu",
+             "BACKSCRUB_TPU_MODELS": "/root/reference/models"},
+        cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "served 3 ticks" in r.stderr
+    assert out1.stat().st_size == 3 * 48 * 64 * 2   # YUYV frames
+    assert out2.stat().st_size == 3 * 64 * 96 * 2
+
+
 def test_cli_staging_flag_runs():
     """--staging routes the serving loop through pinned-host staging and
     produces a normal run (output identity is covered by test_staging)."""
