@@ -268,24 +268,33 @@ def run_e2e_config(name):
 
 
 def run_mjpg_config(name):
-    """Synthetic MJPG camera: per-frame host JPEG decode either inline
-    (serialized with dispatch, the old CameraSource behavior) or in a
-    LatestFrameReader thread (overlapped).  Evidence that MJPG decode is off
-    the critical path; reference negotiates MJPG via -f (deepseg.cc:543-570).
+    """Synthetic MJPG camera, paced at a real camera rate (a V4L2 DQBUF
+    blocks until the next frame, so a production reader thread sleeps most
+    of its duty cycle — an unpaced producer would burn GIL/CPU the real
+    path never does).  Three measurements:
+
+      fps_nodecode : pre-decoded frames (ceiling, no JPEG work at all)
+      fps_inline   : cv2.imdecode on the consumer's critical path
+      fps          : decode in a LatestFrameReader thread (shipped path)
+
+    Evidence for taking MJPG decode off the critical path; reference
+    negotiates MJPG via -f (deepseg.cc:543-570).
     """
     import cv2
     import jax
     from backscrub_tpu.io.streams import LatestFrameReader
     from backscrub_tpu.runtime.serving import ServingLoop
 
+    CAM_FPS = 30.0  # typical MJPG camera rate
     pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
     rng = np.random.default_rng(4)
-    jpegs = []
+    jpegs, decoded = [], []
     for _ in range(8):
-        ok, buf = cv2.imencode(".jpg", rng.integers(0, 256, (720, 1280, 3),
-                                                    np.uint8))
+        frame = rng.integers(0, 256, (720, 1280, 3), np.uint8)
+        ok, buf = cv2.imencode(".jpg", frame)
         assert ok
         jpegs.append(buf)
+        decoded.append(cv2.imdecode(buf, cv2.IMREAD_COLOR))
     bg = jax.device_put(rng.integers(0, 256, (720, 1280, 3), np.uint8))
     frames = min(E2E_FRAMES, 400)
     sink_count = [0]
@@ -293,17 +302,34 @@ def run_mjpg_config(name):
     def sink(arr):
         sink_count[0] += 1
 
-    def run(prefetch: bool) -> float:
+    t_dec0 = time.perf_counter()
+    for i in range(20):
+        cv2.imdecode(jpegs[i % 8], cv2.IMREAD_COLOR)
+    decode_ms = (time.perf_counter() - t_dec0) / 20 * 1e3
+
+    def run(mode: str) -> float:
         loop = ServingLoop(pipe, depth=3)
         idx = [0]
+        next_t = [time.perf_counter()]
 
-        def decode():  # endless synthetic camera; one JPEG decode per frame
+        def grab():  # camera-paced: blocks until the next frame is due
+            now = time.perf_counter()
+            if now < next_t[0]:
+                time.sleep(next_t[0] - now)
+            next_t[0] = max(next_t[0] + 1.0 / CAM_FPS, time.perf_counter())
             i = idx[0]
             idx[0] += 1
-            return cv2.imdecode(jpegs[i % 8], cv2.IMREAD_COLOR)
+            return i
 
-        reader = LatestFrameReader(decode) if prefetch else None
-        read = (lambda: reader.read(timeout=5.0)) if prefetch else decode
+        def read_nodecode():
+            return decoded[grab() % 8]
+
+        def read_inline():
+            return cv2.imdecode(jpegs[grab() % 8], cv2.IMREAD_COLOR)
+
+        reader = LatestFrameReader(read_inline) if mode == "prefetch" else None
+        read = {"nodecode": read_nodecode, "inline": read_inline,
+                "prefetch": lambda: reader.read(timeout=5.0)}[mode]
         for _ in range(20):  # warmup/compile
             loop.submit(read(), bg)
             loop.drain_ready(sink)
@@ -319,11 +345,15 @@ def run_mjpg_config(name):
             reader.close()
         return n / dt
 
-    fps_inline = run(prefetch=False)
-    fps_prefetch = run(prefetch=True)
+    fps_nodecode = run("nodecode")
+    fps_inline = run("inline")
+    fps_prefetch = run("prefetch")
     print(json.dumps({
         "config": name, "fps": round(fps_prefetch, 2), "p50_ms": None,
         "fps_inline_decode": round(fps_inline, 2),
+        "fps_nodecode": round(fps_nodecode, 2),
+        "decode_ms": round(decode_ms, 2),
+        "cam_fps": CAM_FPS,
         "overlap_gain": round(fps_prefetch / fps_inline, 3),
         "frames": frames,
     }))
