@@ -58,6 +58,8 @@ usage:
               yuyv; 4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
 --stats-json <path>  Append a JSON stats line (fps + per-stage ms) every
               120 frames and at exit, for production monitoring
+--drain-thread  Deliver results to the sink from a dedicated thread so
+              device->host downloads overlap the next frame's upload/dispatch
 """
 
 
@@ -69,7 +71,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
                correct_colors=False, staging=False, sink_format="yuyv",
-               stats_json=None)
+               stats_json=None, drain_thread=False)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -154,6 +156,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["sink_format"] = fmt
         elif a == "--stats-json":
             cfg["stats_json"] = val()
+        elif a == "--drain-thread":
+            cfg["drain_thread"] = True
         else:
             raise ValueError(f"unknown argument {a!r}")
         i += 1
@@ -279,7 +283,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("debug: no display available, HUD disabled", file=sys.stderr)
 
     from .runtime.serving import ServingLoop
-    loop = ServingLoop(pipe, depth=3, staging=cfg["staging"])
+    loop = ServingLoop(pipe, depth=3, staging=cfg["staging"],
+                       drain_thread=cfg["drain_thread"])
     if cfg["staging"] and loop.staging is not None and not loop.staging.supported:
         print("staging: pinned_host memory not available on this backend, "
               "using plain transfers", file=sys.stderr)
@@ -355,6 +360,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pass
     finally:
         loop.drain_all(sink.write_yuyv)
+        loop.close()
         source.close()
         sink.close()
         if background:

@@ -17,6 +17,8 @@ help high-latency links (e.g. remote-attached accelerators).
 from __future__ import annotations
 
 import collections
+import queue
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -37,16 +39,54 @@ class ServingLoop:
     results are staged out of HBM into pinned memory instead of relying on
     ``copy_to_host_async``.  Results are bit-identical either way; on
     backends without a pinned space it silently degrades to the plain path.
+
+    ``drain_thread=True`` moves the blocking D2H materialization
+    (``np.asarray``) and the sink call onto a dedicated consumer thread, so
+    the submit side never stalls on a download — upload/dispatch of frame
+    N+k overlaps the download of frame N (the TPU-honest version of the
+    reference's CalcMask split, app/deepseg.cc:159-286, with the roles
+    reversed: here the HOST link is the slow side).  FIFO order is
+    preserved (single consumer); the queue is bounded at ``depth`` for
+    backpressure.  All sink calls happen on the drain thread.
     """
 
     def __init__(self, pipe: FramePipeline, depth: int = 3,
-                 staging: bool = False):
+                 staging: bool = False, drain_thread: bool = False):
         if depth < 1:
             raise ValueError("depth must be >= 1")
         self.pipe = pipe
         self.depth = depth
         self.staging = StagingRing(depth=depth) if staging else None
         self._ring: collections.deque = collections.deque()
+        self._q: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._sink_error: Optional[BaseException] = None
+        if drain_thread:
+            self._q = queue.Queue(maxsize=depth)
+
+    # -- drain-thread mode ---------------------------------------------------
+    def _ensure_worker(self, sink: Callable[[np.ndarray], None]):
+        if self._worker is None or not self._worker.is_alive():
+            def consume():
+                while True:
+                    item = self._q.get()
+                    if item is None:
+                        self._q.task_done()
+                        return
+                    try:
+                        sink(np.asarray(item))
+                    except BaseException as e:  # surface on the submit side
+                        self._sink_error = e
+                    finally:
+                        self._q.task_done()
+            self._worker = threading.Thread(target=consume, daemon=True,
+                                            name="bs-drain")
+            self._worker.start()
+
+    def _raise_sink_error(self):
+        if self._sink_error is not None:
+            e, self._sink_error = self._sink_error, None
+            raise e
 
     def _drain_one(self, sink: Callable[[np.ndarray], None]):
         out = self._ring.popleft()
@@ -73,8 +113,19 @@ class ServingLoop:
         return len(self._ring) > self.depth
 
     def drain_ready(self, sink: Callable[[np.ndarray], None]) -> int:
-        """Deliver all results past the pipeline depth; returns count."""
+        """Deliver all results past the pipeline depth; returns count.
+
+        In drain-thread mode this hands results to the consumer thread
+        (blocking only when ``depth`` results are already queued) and
+        returns the number handed off."""
         n = 0
+        if self._q is not None:
+            self._ensure_worker(sink)
+            self._raise_sink_error()
+            while self.ready():
+                self._q.put(self._ring.popleft())
+                n += 1
+            return n
         while self.ready():
             self._drain_one(sink)
             n += 1
@@ -83,10 +134,25 @@ class ServingLoop:
     def drain_all(self, sink: Callable[[np.ndarray], None]) -> int:
         """Deliver every in-flight result (end of stream); returns count."""
         n = 0
+        if self._q is not None:
+            self._ensure_worker(sink)
+            while self._ring:
+                self._q.put(self._ring.popleft())
+                n += 1
+            self._q.join()  # all sink calls completed
+            self._raise_sink_error()
+            return n
         while self._ring:
             self._drain_one(sink)
             n += 1
         return n
+
+    def close(self):
+        """Stop the drain thread (drain-thread mode); safe to call twice."""
+        if self._q is not None and self._worker is not None \
+                and self._worker.is_alive():
+            self._q.put(None)
+            self._worker.join(timeout=5.0)
 
     def run(self, source: Callable[[], Optional[np.ndarray]],
             sink: Callable[[np.ndarray], None],
@@ -104,4 +170,5 @@ class ServingLoop:
                 self.drain_ready(sink)
         finally:
             self.drain_all(sink)
+            self.close()
         return n

@@ -195,13 +195,16 @@ def run_batch_config(name):
 
 
 E2E_CONFIGS = {
-    # depth, staging.  "serial" drains synchronously after every submit —
-    # the un-overlapped baseline the pipelined depths must beat.
-    "e2e_720p_serial": (0, False),
-    "e2e_720p_servingloop_d1": (1, False),
-    "e2e_720p_servingloop_d2": (2, False),
-    "e2e_720p_servingloop_d3": (3, False),
-    "e2e_720p_servingloop_d3_staged": (3, True),
+    # depth, staging, drain_thread.  "serial" drains synchronously after
+    # every submit — the un-overlapped baseline the pipelined depths must
+    # beat.  "_thread" moves the blocking D2H + sink onto a consumer thread
+    # so downloads overlap the submit side's uploads/dispatch.
+    "e2e_720p_serial": (0, False, False),
+    "e2e_720p_servingloop_d1": (1, False, False),
+    "e2e_720p_servingloop_d2": (2, False, False),
+    "e2e_720p_servingloop_d3": (3, False, False),
+    "e2e_720p_servingloop_d3_staged": (3, True, False),
+    "e2e_720p_servingloop_d3_thread": (3, False, True),
 }
 
 E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "1000"))
@@ -219,7 +222,7 @@ def run_e2e_config(name):
     import jax
     from backscrub_tpu.runtime.serving import ServingLoop
 
-    depth, staging = E2E_CONFIGS[name]
+    depth, staging, drain_thread = E2E_CONFIGS[name]
     pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
     rng = np.random.default_rng(3)
     # 8 distinct host frames so uploads can't be cached/deduped
@@ -234,7 +237,8 @@ def run_e2e_config(name):
         sunk_bytes[0] += arr.nbytes
         deliver_t.append(time.perf_counter())
 
-    loop = ServingLoop(pipe, depth=max(depth, 1), staging=staging)
+    loop = ServingLoop(pipe, depth=max(depth, 1), staging=staging,
+                       drain_thread=drain_thread)
 
     def one_frame(i):
         submit_t.append(time.perf_counter())
@@ -256,11 +260,13 @@ def run_e2e_config(name):
         n += 1
     loop.drain_all(sink)
     dt = time.perf_counter() - t0
+    loop.close()
 
     lats = 1000.0 * (np.array(deliver_t) - np.array(submit_t[:len(deliver_t)]))
     print(json.dumps({
         "config": name, "fps": round(n / dt, 2), "p50_ms": None,
         "frames": n, "depth": depth, "staging": staging,
+        "drain_thread": drain_thread,
         "sink_p50_ms": round(float(np.percentile(lats, 50)), 2),
         "sink_p99_ms": round(float(np.percentile(lats, 99)), 2),
         "host_mb_per_s": round(sunk_bytes[0] / dt / 1e6, 1),

@@ -80,3 +80,49 @@ def test_serving_loop_soak_ring_bounded(rng):
     expect = [int(np.asarray(pipe.step(f, frames[0], filter_active=False)[0])[0, 0])
               for f in (frames[0], frames[1])]
     assert lumas[0] == expect[0] and lumas[1] == expect[1]
+
+
+def test_serving_drain_thread_matches_sync(pipe, rng):
+    """drain_thread=True delivers the same outputs in the same order as
+    the synchronous path, with all sink calls on the consumer thread."""
+    import threading
+    frames = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(10)]
+    bg = np.zeros((48, 64, 3), np.uint8)
+    pipe.reset()
+    golden = []
+    for f in frames:
+        out, _ = pipe.step(f, bg)
+        golden.append(np.asarray(out).copy())
+
+    pipe.reset()
+    loop = ServingLoop(pipe, depth=3, drain_thread=True)
+    got, threads = [], set()
+
+    def sink(arr):
+        got.append(arr.copy())
+        threads.add(threading.current_thread().name)
+
+    it = iter(frames)
+    n = loop.run(lambda: next(it, None), sink, background=lambda: bg)
+    loop.close()
+    assert n == 10 and len(got) == 10
+    assert threads == {"bs-drain"}
+    for g, ref in zip(got, golden):
+        np.testing.assert_array_equal(g, ref)
+
+
+def test_serving_drain_thread_sink_error_propagates(pipe, rng):
+    pipe.reset()
+    loop = ServingLoop(pipe, depth=1, drain_thread=True)
+    bg = np.zeros((48, 64, 3), np.uint8)
+
+    def bad_sink(arr):
+        raise RuntimeError("sink exploded")
+
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        for i in range(5):
+            loop.submit(rng.integers(0, 256, (48, 64, 3), np.uint8), bg)
+            loop.drain_ready(bad_sink)
+        loop.drain_all(bad_sink)
+    loop.close()
+    loop.close()  # idempotent
