@@ -240,12 +240,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
     )
     if cfg["int8"]:
-        # Measured on TPU v5e (BENCH_DETAILS.json, README "int8 verdict"):
-        # weight-only int8 runs ~0.6x the f32 pipeline (on-the-fly dequant
-        # dominates; these models' weights already fit in VMEM), and at the
-        # compute level s8xs8->s32 convs tie f32 but lose to bf16 (16.5 vs
-        # 14.7 us, batch-32 3x3x64x128@96x160) — so int8 can't beat the
-        # shipped fast path.  Kept for memory-constrained embedding.
+        # Measured on TPU v5e (BENCH_DETAILS.json, README "int8 verdict",
+        # tools/probe_int8.py): weight-only int8 runs ~0.6x the f32 pipeline
+        # (on-the-fly dequant dominates; these models' weights already fit
+        # in VMEM), and at the compute level s8xs8->s32 convs beat f32
+        # HIGHEST 2.2x but still lose to bf16 by 1.25x — so int8 can't beat
+        # the shipped fast path.  Kept for memory-constrained embedding.
         print("Warning: --int8 is slower than f32 on this TPU generation "
               "(~0.6x, see README); use --bf16 for the fast path",
               file=sys.stderr)
