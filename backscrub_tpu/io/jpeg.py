@@ -1,0 +1,173 @@
+"""Host half of the device-side MJPG decode path.
+
+MJPG is the common high-res webcam format (the reference negotiates it via
+``-f MJPG``, app/deepseg.cc:543-570, and lets OpenCV/libjpeg decode frames
+on the host).  The TPU-first split: only the inherently serial Huffman
+entropy decode stays on the host (native/bsjpeg.cc, wrapped here); the
+dense math — dequantize, 8x8 IDCT, chroma upsample, YCbCr->BGR — runs on
+the device fused into the frame program (pipeline/jpeg.py).
+
+This module exposes :class:`JpegEntropyDecoder`: feed it raw JPEG bytes,
+get back static-shape ``(blocks_h, blocks_w, 64) int16`` coefficient
+tensors per component, ready for upload.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+
+_ERRORS = {
+    -1: "truncated JPEG stream",
+    -2: "not a JPEG (no SOI marker)",
+    -3: "unsupported JPEG flavor (progressive/arithmetic/12-bit/CMYK)",
+    -4: "corrupt JPEG stream",
+    -5: "bad argument / geometry changed mid-stream",
+}
+
+
+class _BsjpegInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32), ("height", ctypes.c_int32),
+        ("ncomp", ctypes.c_int32),
+        ("h", ctypes.c_int32 * 3), ("v", ctypes.c_int32 * 3),
+        ("blocks_w", ctypes.c_int32 * 3), ("blocks_h", ctypes.c_int32 * 3),
+        ("qtab", (ctypes.c_uint16 * 64) * 3),
+        ("restart_interval", ctypes.c_int32),
+    ]
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    for cand in [
+        os.environ.get("BSJPEG_LIB", ""),
+        os.path.join(repo, "native", "build", "libbsjpeg.so"),
+        os.path.join(here, "libbsjpeg.so"),
+        "libbsjpeg.so",
+    ]:
+        if cand and (os.path.exists(cand) or os.path.sep not in cand):
+            return cand
+    return None
+
+
+def load_bsjpeg() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = _find_lib()
+    if path is None:
+        raise RuntimeError(
+            "libbsjpeg.so not found — build it with: cmake -S native -B "
+            "native/build && cmake --build native/build")
+    lib = ctypes.CDLL(path)
+    lib.bsjpeg_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                 ctypes.POINTER(_BsjpegInfo)]
+    lib.bsjpeg_parse.restype = ctypes.c_int
+    lib.bsjpeg_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.POINTER(_BsjpegInfo),
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p]
+    lib.bsjpeg_decode.restype = ctypes.c_int
+    lib.bsjpeg_version.restype = ctypes.c_char_p
+    _LIB = lib
+    return lib
+
+
+@dataclasses.dataclass(frozen=True)
+class JpegInfo:
+    """Static frame geometry: everything the device program needs to be
+    compiled once per camera (shapes/sampling are fixed for an MJPG stream;
+    quant tables may vary per frame and travel as runtime arrays)."""
+    width: int
+    height: int
+    ncomp: int
+    sampling: Tuple[Tuple[int, int], ...]   # (h, v) per component
+    blocks: Tuple[Tuple[int, int], ...]     # (blocks_h, blocks_w) per component
+
+    @property
+    def is_420(self) -> bool:
+        return (self.ncomp == 3 and self.sampling[0] == (2, 2)
+                and self.sampling[1] == (1, 1) and self.sampling[2] == (1, 1))
+
+    @property
+    def is_422(self) -> bool:
+        return (self.ncomp == 3 and self.sampling[0] == (2, 1)
+                and self.sampling[1] == (1, 1) and self.sampling[2] == (1, 1))
+
+    @property
+    def is_444(self) -> bool:
+        return self.ncomp == 3 and all(s == (1, 1) for s in self.sampling)
+
+
+def _raise(rc: int, what: str):
+    raise ValueError(f"bsjpeg {what} failed: {_ERRORS.get(rc, f'error {rc}')}")
+
+
+def _to_info(ci: _BsjpegInfo) -> JpegInfo:
+    n = ci.ncomp
+    return JpegInfo(
+        width=ci.width, height=ci.height, ncomp=n,
+        sampling=tuple((ci.h[c], ci.v[c]) for c in range(n)),
+        blocks=tuple((ci.blocks_h[c], ci.blocks_w[c]) for c in range(n)))
+
+
+def parse_header(jpg: bytes) -> JpegInfo:
+    """Marker-parse only (no entropy decode): geometry + sampling."""
+    lib = load_bsjpeg()
+    ci = _BsjpegInfo()
+    buf = bytes(jpg)
+    rc = lib.bsjpeg_parse(buf, len(buf), ctypes.byref(ci))
+    if rc != 0:
+        _raise(rc, "parse")
+    return _to_info(ci)
+
+
+class JpegEntropyDecoder:
+    """Reusable per-stream decoder with preallocated coefficient buffers.
+
+    A camera's MJPG stream keeps one geometry for its lifetime, so the
+    first frame fixes the static shapes (and hence the jitted device
+    program); later frames reuse the buffers.  ``decode(jpg)`` returns
+    ``(coefs, qtabs)``:
+
+    - ``coefs``: list of ``(blocks_h, blocks_w, 64) int16`` arrays, natural
+      8x8 order, RAW quantized values (device multiplies by qtab);
+    - ``qtabs``: ``(ncomp, 64) uint16`` dequant tables in natural order
+      (runtime data — some encoders re-tune tables per frame).
+    """
+
+    def __init__(self):
+        self.lib = load_bsjpeg()
+        self.info: Optional[JpegInfo] = None
+        self._ci = _BsjpegInfo()
+        self._coefs: List[np.ndarray] = []
+
+    def decode(self, jpg: bytes) -> Tuple[List[np.ndarray], np.ndarray]:
+        buf = bytes(jpg)
+        ci = self._ci
+        rc = self.lib.bsjpeg_parse(buf, len(buf), ctypes.byref(ci))
+        if rc != 0:
+            _raise(rc, "parse")
+        info = _to_info(ci)
+        if info != self.info:
+            if self.info is not None:
+                raise ValueError(
+                    f"MJPG stream changed geometry mid-stream: {self.info} "
+                    f"-> {info} (reopen the decoder)")
+            self.info = info
+            self._coefs = [np.empty((bh, bw, 64), np.int16)
+                           for bh, bw in info.blocks]
+        ptrs = [c.ctypes.data for c in self._coefs] + [None, None]
+        rc = self.lib.bsjpeg_decode(buf, len(buf), ctypes.byref(ci),
+                                    ptrs[0], ptrs[1], ptrs[2])
+        if rc != 0:
+            _raise(rc, "decode")
+        qtabs = np.ctypeslib.as_array(ci.qtab)[:info.ncomp].copy()
+        return self._coefs, qtabs

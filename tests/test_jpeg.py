@@ -1,0 +1,169 @@
+"""Device-side MJPG decode: bsjpeg entropy decode + on-device IDCT/upsample/
+color, bit-exact vs cv2.imdecode (libjpeg-turbo defaults).
+
+Reference decodes MJPG on the host inside cv::VideoCapture
+(app/deepseg.cc:629-632, format negotiated at :543-570); here only the
+Huffman decode is host work and the parity bar is exact bytes.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+jnp = pytest.importorskip("jax.numpy")
+
+from backscrub_tpu.io.jpeg import (JpegEntropyDecoder, load_bsjpeg,
+                                   parse_header)
+from backscrub_tpu.pipeline.jpeg import decode_jpeg_bgr
+
+
+def _build_native():
+    try:
+        load_bsjpeg()
+        return
+    except RuntimeError:
+        pass
+    subprocess.run(["cmake", "-S", "native", "-B", "native/build"],
+                   check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", "native/build"],
+                   check=True, capture_output=True)
+    load_bsjpeg()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def native_lib():
+    _build_native()
+
+
+def _smooth(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return cv2.GaussianBlur(img, (7, 7), 0)
+
+
+def _roundtrip(img, params):
+    ok, enc = cv2.imencode(".jpg", img, params)
+    assert ok
+    dec = JpegEntropyDecoder()
+    coefs, qtabs = dec.decode(enc.tobytes())
+    ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    out = np.asarray(decode_jpeg_bgr([jnp.asarray(c) for c in coefs],
+                                     jnp.asarray(qtabs), dec.info))
+    return out, ref, dec.info
+
+
+SAMPLINGS = ["420", "422", "444", "440", "411"]
+
+
+@pytest.mark.parametrize("sampling", SAMPLINGS)
+@pytest.mark.parametrize("quality", [30, 75, 95])
+def test_bit_exact_vs_cv2(sampling, quality):
+    sf = getattr(cv2, f"IMWRITE_JPEG_SAMPLING_FACTOR_{sampling}")
+    img = _smooth(120, 164, seed=quality)
+    out, ref, _ = _roundtrip(img, [cv2.IMWRITE_JPEG_QUALITY, quality,
+                                   cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sf])
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_bit_exact_noise_420():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (97, 131, 3), dtype=np.uint8)  # odd dims
+    out, ref, info = _roundtrip(img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert (info.width, info.height) == (131, 97)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_grayscale():
+    g = cv2.cvtColor(_smooth(64, 80), cv2.COLOR_BGR2GRAY)
+    out, ref, info = _roundtrip(g, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    assert info.ncomp == 1
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_restart_markers():
+    img = _smooth(96, 144, seed=7)
+    out, ref, _ = _roundtrip(img, [cv2.IMWRITE_JPEG_QUALITY, 85,
+                                   cv2.IMWRITE_JPEG_RST_INTERVAL, 3])
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_optimized_huffman_tables():
+    img = _smooth(96, 144, seed=8)
+    out, ref, _ = _roundtrip(img, [cv2.IMWRITE_JPEG_QUALITY, 85,
+                                   cv2.IMWRITE_JPEG_OPTIMIZE, 1])
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (1, 1), (17, 9)])
+def test_tiny_images(dims):
+    rng = np.random.default_rng(dims[0])
+    img = rng.integers(0, 256, (*dims, 3), dtype=np.uint8)
+    out, ref, _ = _roundtrip(img, [cv2.IMWRITE_JPEG_QUALITY, 60])
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_missing_dht_uses_annex_k_defaults():
+    """MJPEG streams routinely omit DHT; the Annex K defaults must kick in.
+    Built by stripping DHT segments from a default-table cv2 JPEG."""
+    img = _smooth(64, 96, seed=9)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    b = enc.tobytes()
+    out = bytearray(b[:2])
+    i = 2
+    while i < len(b):
+        m = b[i + 1]
+        if m == 0xDA:
+            out += b[i:]
+            break
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if m != 0xC4:  # drop DHT
+            out += b[i:i + 2 + seglen]
+        i += 2 + seglen
+    dec = JpegEntropyDecoder()
+    coefs, qtabs = dec.decode(bytes(out))
+    ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    got = np.asarray(decode_jpeg_bgr([jnp.asarray(c) for c in coefs],
+                                     jnp.asarray(qtabs), dec.info))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_progressive_rejected():
+    ok, enc = cv2.imencode(".jpg", _smooth(32, 32),
+                           [cv2.IMWRITE_JPEG_PROGRESSIVE, 1])
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_header(enc.tobytes())
+
+
+def test_truncated_and_garbage_rejected():
+    ok, enc = cv2.imencode(".jpg", _smooth(32, 32), [])
+    jpg = enc.tobytes()
+    with pytest.raises(ValueError):
+        parse_header(jpg[:20])          # truncated header
+    with pytest.raises(ValueError):
+        parse_header(b"\x00" * 64)      # not a JPEG
+    dec = JpegEntropyDecoder()
+    dec.decode(jpg)
+    with pytest.raises(ValueError):     # geometry change mid-stream
+        ok2, enc2 = cv2.imencode(".jpg", _smooth(64, 64), [])
+        dec.decode(enc2.tobytes())
+
+
+def test_decoder_reuses_buffers():
+    img = _smooth(48, 64)
+    ok, enc = cv2.imencode(".jpg", img, [])
+    dec = JpegEntropyDecoder()
+    c1, _ = dec.decode(enc.tobytes())
+    c2, _ = dec.decode(enc.tobytes())
+    assert c1[0] is c2[0]  # same preallocated arrays
+
+
+def test_header_parse_info():
+    img = _smooth(480, 640)
+    sf = cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sf])
+    info = parse_header(enc.tobytes())
+    assert (info.width, info.height, info.ncomp) == (640, 480, 3)
+    assert info.is_420 and not info.is_422
+    assert info.blocks[0] == (60, 80) and info.blocks[1] == (30, 40)
