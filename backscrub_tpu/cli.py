@@ -32,7 +32,8 @@ usage:
 -?            Display this usage information
 -d            Increase debug level
 -s            Show progress bar
--c            Video capture source: /dev/videoN, file:<path>, image, or test:
+-c            Video capture source: /dev/videoN, file:<path>, image, test:,
+              or mjpg: (synthetic MJPG camera; exercises device-side decode)
 -v            Virtual camera sink: /dev/videoN, file:<path.mp4|.yuv>, or null:
 -w            DEPRECATED: Specify the video stream width
 -h            DEPRECATED: Specify the video stream height
@@ -170,7 +171,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
     # permit unprefixed device names (app/deepseg.cc:536-539)
     for key in ("ccam", "vcam"):
         v = cfg[key]
-        if not any(v.startswith(p) for p in ("/dev/", "file:", "test:", "null:",
+        if not any(v.startswith(p) for p in ("/dev/", "file:", "test:", "mjpg:", "null:",
                                              "http://", "https://")) \
                 and not ("." in v or "/" in v):
             cfg[key] = "/dev/" + v
@@ -227,16 +228,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         source.close()
         return 1
     # native YUYV/NV12 cameras upload raw bytes; the device decodes (1.5-2x
-    # less host->device traffic and no host cvtColor on the critical path)
+    # less host->device traffic and no host cvtColor on the critical path).
+    # MJPG cameras upload entropy-decoded coefficients; IDCT/upsample/color
+    # run on device (pipeline/jpeg.py), leaving only Huffman on the host.
     raw_fmt = getattr(source, "raw_format", None)
     raw_ingest = raw_fmt in ("yuyv", "nv12")
+    jpeg_info = getattr(source, "jpeg_info", None)
+    if jpeg_info is not None:
+        in_fmt = "mjpg"
+    elif raw_ingest:
+        in_fmt = raw_fmt
+    else:
+        in_fmt = "bgr"
     pcfg = PipelineConfig(
         width=cw, height=ch, out_width=vw, out_height=vh,
         blur_strength=cfg["blur_strength"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
         mask_refine=cfg["mask_refine"],
-        input_format=raw_fmt if raw_ingest else "bgr",
+        input_format=in_fmt, jpeg_info=jpeg_info,
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
     )
     if cfg["int8"]:

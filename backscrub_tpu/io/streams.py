@@ -94,19 +94,78 @@ class FrameSource:
         pass
 
 
+class JpegSource(FrameSource):
+    """MJPG stream -> device-decodable coefficient frames.
+
+    Wraps a ``grab_jpeg()`` callable (camera DQBUF, file reader, ...)
+    returning one JPEG per call.  The Huffman entropy decode — the only
+    inherently serial part of JPEG — runs here on a
+    :class:`LatestFrameReader` thread; ``read()`` returns
+    ``(coefs, qtabs)`` ready for upload, and the device does IDCT/
+    upsample/color fused into the frame program
+    (``PipelineConfig(input_format='mjpg', jpeg_info=self.jpeg_info)``).
+
+    The first frame is decoded synchronously at construction to fix the
+    static geometry (``jpeg_info``) before the pipeline is built; it is
+    then re-delivered as the first ``read()``.
+    """
+
+    def __init__(self, grab_jpeg, prefetch: bool = True):
+        from .jpeg import JpegEntropyDecoder
+        self._grab = grab_jpeg
+        self._dec = JpegEntropyDecoder()
+        first = grab_jpeg()
+        if first is None:
+            raise OSError("MJPG source produced no frames")
+        self._first = self._decode(first)
+        self.jpeg_info = self._dec.info
+        self.width, self.height = self.jpeg_info.width, self.jpeg_info.height
+        self._reader = LatestFrameReader(self._read_sync) if prefetch else None
+
+    def _decode(self, jpg: bytes):
+        coefs, qtabs = self._dec.decode(jpg)
+        # copy: the decoder reuses its buffers, and the serving loop
+        # uploads asynchronously — the next decode must not overwrite
+        # bytes still in flight
+        return tuple(c.copy() for c in coefs), qtabs
+
+    def _read_sync(self):
+        jpg = self._grab()
+        if jpg is None:
+            return None
+        return self._decode(jpg)
+
+    def read(self):
+        if self._first is not None:
+            f, self._first = self._first, None
+            return f
+        if self._reader is not None:
+            return self._reader.read()
+        return self._read_sync()
+
+    def close(self):
+        if self._reader is not None:
+            self._reader.close()
+            self._reader.join()
+
+
 class CameraSource(FrameSource):
     """V4L2 camera through the native shim (fallback: OpenCV).
 
-    MJPG cameras need a host JPEG decode per frame; that decode runs in a
-    :class:`LatestFrameReader` thread so it overlaps device dispatch instead
-    of serializing with it (MJPG is the common high-res webcam format, and
-    at north-star rates an inline ~5 ms imdecode would dominate the loop).
-    YUYV/NV12 cameras bypass this: their raw payload uploads verbatim and
-    decodes on device (read_raw).
+    MJPG cameras: by default only the Huffman entropy decode runs on the
+    host (in a :class:`JpegSource` reader thread); IDCT/upsampling/color
+    conversion run on device fused into the frame program (``jpeg_info``
+    is then set and ``read()`` yields ``(coefs, qtabs)`` tuples for
+    ``PipelineConfig(input_format='mjpg')``).  If the stream is not
+    baseline JPEG (or libbsjpeg is unbuilt), falls back to full host
+    decode (cv2.imdecode) in a :class:`LatestFrameReader` thread, which
+    still overlaps device dispatch instead of serializing with it.
+    YUYV/NV12 cameras bypass all of this: their raw payload uploads
+    verbatim and decodes on device (read_raw).
     """
 
     def __init__(self, device: str, width: int, height: int, pixfmt: str = "",
-                 prefetch: Optional[bool] = None):
+                 prefetch: Optional[bool] = None, device_decode: bool = True):
         from .v4l2 import V4L2Capture
         try:
             self.cap = V4L2Capture(device, width, height, pixfmt)
@@ -125,10 +184,24 @@ class CameraSource(FrameSource):
             self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self._native = False
+        self.jpeg_info = None
+        self._jpeg: Optional[JpegSource] = None
+        if (device_decode and self._native
+                and self.cap.pixelformat in ("MJPG", "JPEG")):
+            try:
+                self._jpeg = JpegSource(self._grab_jpeg)
+                self.jpeg_info = self._jpeg.jpeg_info
+            except Exception as e:  # non-baseline stream / unbuilt libbsjpeg
+                import sys
+                print(f"MJPG device decode unavailable ({e}); "
+                      "falling back to host decode", file=sys.stderr)
         if prefetch is None:
-            prefetch = (self._native
+            prefetch = (self._jpeg is None and self._native
                         and self.cap.pixelformat in ("MJPG", "JPEG"))
         self._reader = LatestFrameReader(self._read_sync) if prefetch else None
+
+    def _grab_jpeg(self):
+        return self.cap.grab_raw().tobytes()
 
     @property
     def raw_format(self):
@@ -145,6 +218,8 @@ class CameraSource(FrameSource):
         return frame if ok else None
 
     def read(self):
+        if self._jpeg is not None:
+            return self._jpeg.read()
         if self._reader is not None:
             return self._reader.read()
         return self._read_sync()
@@ -165,10 +240,14 @@ class CameraSource(FrameSource):
     def close(self):
         if self._reader is not None:
             self._reader.close()
+        if self._jpeg is not None and self._jpeg._reader is not None:
+            self._jpeg._reader.close()
         # closing the device unblocks a reader thread stuck in grab
         self.cap.release() if not self._native else self.cap.close()
         if self._reader is not None:
             self._reader.join()
+        if self._jpeg is not None and self._jpeg._reader is not None:
+            self._jpeg._reader.join()
 
 
 class FileSource(FrameSource):
@@ -239,6 +318,17 @@ class SyntheticSource(FrameSource):
 def open_source(uri: str, width: int, height: int, pixfmt: str = "") -> FrameSource:
     if uri.startswith("test:"):
         return SyntheticSource(width or 640, height or 480)
+    if uri.startswith("mjpg:"):
+        # synthetic MJPG camera: the moving test pattern, JPEG-encoded per
+        # frame — exercises the device-decode path headless (no /dev/video)
+        import cv2
+        inner = SyntheticSource(width or 640, height or 480)
+
+        def grab():
+            ok, enc = cv2.imencode(".jpg", inner.read(),
+                                   [cv2.IMWRITE_JPEG_QUALITY, 90])
+            return enc.tobytes() if ok else None
+        return JpegSource(grab)
     if uri.startswith("/dev/"):
         return CameraSource(uri, width, height, pixfmt)
     if uri.startswith("file:"):

@@ -46,10 +46,15 @@ class PipelineConfig:
                                      # "nv12" (Y + interleaved UV rows,
                                      # (3H/2, W)) | "i420" (planar flat
                                      # bytes) — BT.601 4:2:0, cv2-bit-exact
-    input_format: str = "bgr"        # "bgr" | "yuyv": raw-camera device ingest
-                                     # (YUYV->RGB decode on device, 1.5x less
+    input_format: str = "bgr"        # "bgr" | "yuyv" | "nv12": raw-camera
+                                     # device ingest (decode on device, less
                                      # host->device traffic; BASELINE "frame
                                      # preprocessing ... YUYV->RGB convert")
+                                     # | "mjpg": JPEG coefficients from the
+                                     # host entropy decoder; IDCT/upsample/
+                                     # color run on device (pipeline/jpeg.py)
+    jpeg_info: Optional[object] = None  # io.jpeg.JpegInfo, required for
+                                     # input_format="mjpg" (static per stream)
 
 
 class FramePipeline:
@@ -86,6 +91,15 @@ class FramePipeline:
             raise ValueError(
                 f"capture geometry {config.width}x{config.height}: 4:2:0 "
                 "(nv12) ingest needs even width and height")
+        if config.input_format == "mjpg":
+            info = config.jpeg_info
+            if info is None:
+                raise ValueError("input_format='mjpg' needs jpeg_info "
+                                 "(io.jpeg.parse_header of the first frame)")
+            if (info.width, info.height) != (config.width, config.height):
+                raise ValueError(
+                    f"MJPG stream is {info.width}x{info.height} but capture "
+                    f"geometry is {config.width}x{config.height}")
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,
@@ -155,6 +169,12 @@ class FramePipeline:
             elif cfg.input_format == "nv12":
                 # raw 4:2:0 camera bytes (3H/2, W) u8 -> BGR on device
                 frame = nv12_to_bgr_u8(frame)
+            elif cfg.input_format == "mjpg":
+                # (coefs tuple, qtabs) from the host entropy decoder ->
+                # BGR on device, bit-exact vs cv2.imdecode (pipeline/jpeg.py)
+                from .jpeg import decode_jpeg_bgr
+                coefs, qtabs = frame
+                frame = decode_jpeg_bgr(coefs, qtabs, cfg.jpeg_info)
             if not active:
                 # filter off ('s' key): passthrough convert only
                 # (app/deepseg.cc:662-664); EMA state is left untouched
@@ -194,7 +214,11 @@ class FramePipeline:
         window's runtime toggles work."""
         fh = self.cfg.flip_horizontal if flip_horizontal is None else flip_horizontal
         fv = self.cfg.flip_vertical if flip_vertical is None else flip_vertical
-        frame = jnp.asarray(frame_bgr_u8)
+        if self.cfg.input_format == "mjpg":
+            coefs, qtabs = frame_bgr_u8
+            frame = (tuple(jnp.asarray(c) for c in coefs), jnp.asarray(qtabs))
+        else:
+            frame = jnp.asarray(frame_bgr_u8)
         params = self.maskgen.model.params
         if background_bgr_u8 is None and self.cfg.blur_strength:
             step = self._get_step("blur", fh, fv, filter_active)

@@ -144,47 +144,60 @@ struct HuffTable {
 };
 
 // ---- stuffed-byte bit reader ------------------------------------------------
+// 64-bit MSB-aligned bit buffer.  The refill has a fast path that loads 4
+// plain bytes at once (no 0xFF anywhere — the overwhelmingly common case)
+// and a byte-wise slow path handling 0xFF00 stuffing and marker latch.
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t buf = 0;   // top `cnt` bits valid (MSB-aligned in low 32)
+  uint64_t buf = 0;   // top `cnt` bits valid
   int cnt = 0;
   bool at_marker = false;  // hit 0xFF <marker>; feeding zero bits since then
 
   BitReader(const uint8_t* p_, const uint8_t* end_) : p(p_), end(end_) {}
 
-  // Append one byte of entropy data to buf (handles 0xFF00 stuffing); on a
-  // real marker, latch at_marker and feed zeros (T.81 F.2.2.5 allows the
-  // final blocks to complete off padded bits, same as libjpeg).
-  inline void fill_byte() {
-    uint32_t b = 0;
-    if (!at_marker && p < end) {
-      b = *p;
-      if (b == 0xFF) {
-        const uint8_t* q = p + 1;
-        while (q < end && *q == 0xFF) q++;  // fill bytes before a marker
-        if (q < end && *q == 0x00) {
-          p = q + 1;  // stuffed literal 0xFF
-        } else {
-          at_marker = true;  // leave p at the 0xFF; caller resyncs
-          b = 0;
-        }
-      } else {
-        p++;
+  // Refill to at least 32 valid bits (callers never need more than 24 at
+  // once: 16-bit symbol window + 16 value bits fit in two calls).
+  // On a real marker, latch at_marker and feed zeros (T.81 F.2.2.5 allows
+  // the final blocks to complete off padded bits, same as libjpeg).
+  void refill() {
+    while (cnt <= 32) {
+      if (!at_marker && end - p >= 4 &&
+          ((p[0] | p[1] | p[2] | p[3]) != 0xFF) &&  // quick reject
+          p[0] != 0xFF && p[1] != 0xFF && p[2] != 0xFF && p[3] != 0xFF) {
+        uint32_t w = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                     ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+        p += 4;
+        buf |= (uint64_t)w << (32 - cnt);
+        cnt += 32;
+        break;
       }
+      uint64_t b = 0;
+      if (!at_marker && p < end) {
+        b = *p;
+        if (b == 0xFF) {
+          const uint8_t* q = p + 1;
+          while (q < end && *q == 0xFF) q++;  // fill bytes before a marker
+          if (q < end && *q == 0x00) {
+            p = q + 1;  // stuffed literal 0xFF
+          } else {
+            at_marker = true;  // leave p at the 0xFF; caller resyncs
+            b = 0;
+          }
+        } else {
+          p++;
+        }
+      }
+      buf |= b << (56 - cnt);
+      cnt += 8;
     }
-    buf |= b << (24 - cnt);
-    cnt += 8;
   }
 
   inline void ensure(int n) {
-    while (cnt < n) fill_byte();
+    if (cnt < n) refill();
   }
 
-  inline uint32_t peek(int n) {
-    ensure(n);
-    return buf >> (32 - n);
-  }
+  inline uint32_t peek(int n) const { return (uint32_t)(buf >> (64 - n)); }
 
   inline void consume(int n) {
     buf <<= n;
@@ -194,40 +207,61 @@ struct BitReader {
   inline int32_t receive(int n) {  // n in [0,16]
     if (n == 0) return 0;
     ensure(n);
-    int32_t v = (int32_t)(buf >> (32 - n));
+    int32_t v = (int32_t)(buf >> (64 - n));
     consume(n);
     return v;
   }
 
-  // Decode one Huffman symbol.  Returns -1 on a corrupt code.
-  inline int decode(const HuffTable& t) {
+  // receive() without the ensure — caller guarantees bits are buffered
+  inline int32_t receive_ne(int n) {
+    if (n == 0) return 0;
+    int32_t v = (int32_t)(buf >> (64 - n));
+    consume(n);
+    return v;
+  }
+
+  // Decode one Huffman symbol; caller ensured >= 16 bits buffered.
+  // Returns -1 on a corrupt code.
+  inline int decode_ne(const HuffTable& t) {
     uint32_t look = peek(8);
     int l = t.lut_len[look];
     if (l) {
       consume(l);
       return t.lut_val[look];
     }
-    // slow path: codes longer than 8 bits (F.2.2.3)
-    int32_t code = (int32_t)look;
-    consume(8);
-    l = 8;
-    while (code > t.maxcode[l]) {
-      code = (code << 1) | (int32_t)receive(1);
-      if (++l > 16) return -1;
+    // codes longer than 8 bits: walk lengths against the 16-bit window
+    // (F.2.2.3, but without per-bit consumption)
+    uint32_t w = peek(16);
+    for (l = 9; l <= 16; l++) {
+      int32_t code = (int32_t)(w >> (16 - l));
+      if (code <= t.maxcode[l]) {
+        consume(l);
+        return t.vals[t.valptr[l] + code - t.mincode[l]];
+      }
     }
-    return t.vals[t.valptr[l] + code - t.mincode[l]];
+    return -1;
   }
 
-  // Reset at a restart marker: drop partial bits, step over FF Dn.
+  inline int decode(const HuffTable& t) {
+    ensure(16);
+    return decode_ne(t);
+  }
+
+  // Reset at a restart marker: drop buffered bits and scan forward for
+  // FF Dn.  p may lag the marker (refill buffers ahead), but the bytes in
+  // between are entropy/padding data, which can never contain a raw
+  // FF D0..D7 (any 0xFF in entropy data is stuffed as FF 00) — so the
+  // first match IS the restart marker.
   bool sync_restart() {
     buf = 0;
     cnt = 0;
     at_marker = false;
-    // skip fill bytes, then expect RST0..7
-    while (p < end && *p == 0xFF && p + 1 < end && p[1] == 0xFF) p++;
-    if (p + 1 < end && p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) {
-      p += 2;
-      return true;
+    while (p + 1 < end) {
+      if (p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) {
+        p += 2;
+        return true;
+      }
+      p++;
     }
     return false;
   }
@@ -419,15 +453,19 @@ static int fill_info(const Parser& ps, bsjpeg_info_t* info) {
   return BSJPEG_OK;
 }
 
-// Decode one 8x8 block into natural-order coefficients.
+// Decode one 8x8 block into natural-order coefficients.  One ensure(32)
+// per coefficient covers the worst case code(16) + value bits(<=15), so
+// the symbol decode and value receive share a single refill check.
 static int decode_block(BitReader& br, const HuffTable& dc, const HuffTable& ac,
                         int32_t* pred, int16_t* out /*64, zeroed*/) {
-  int t = br.decode(dc);
+  br.ensure(32);
+  int t = br.decode_ne(dc);
   if (t < 0 || t > 15) return BSJPEG_ERR_CORRUPT;
-  *pred += extend(br.receive(t), t);
+  *pred += extend(br.receive_ne(t), t);
   out[0] = (int16_t)*pred;
   for (int k = 1; k < 64;) {
-    int rs = br.decode(ac);
+    br.ensure(32);
+    int rs = br.decode_ne(ac);
     if (rs < 0) return BSJPEG_ERR_CORRUPT;
     int r = rs >> 4, s = rs & 15;
     if (s == 0) {
@@ -436,7 +474,7 @@ static int decode_block(BitReader& br, const HuffTable& dc, const HuffTable& ac,
     } else {
       k += r;
       if (k > 63) return BSJPEG_ERR_CORRUPT;
-      out[kZigzag[k]] = (int16_t)extend(br.receive(s), s);
+      out[kZigzag[k]] = (int16_t)extend(br.receive_ne(s), s);
       k++;
     }
   }

@@ -167,3 +167,81 @@ def test_header_parse_info():
     assert (info.width, info.height, info.ncomp) == (640, 480, 3)
     assert info.is_420 and not info.is_422
     assert info.blocks[0] == (60, 80) and info.blocks[1] == (30, 40)
+
+
+# ---- pipeline integration ---------------------------------------------------
+
+def test_frame_pipeline_mjpg_matches_bgr_path():
+    """input_format='mjpg' (device decode fused into the frame program)
+    must produce output bit-identical to the bgr path fed with the
+    cv2-decoded frame (the decodes are bit-exact, so everything after is
+    the same program)."""
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    path = model_path("segm_lite_v681.tflite")
+    rng = np.random.default_rng(11)
+    w, h = 160, 96
+    bg = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    pipe_bgr = FramePipeline(path, PipelineConfig(width=w, height=h))
+    jpgs = []
+    for i in range(4):
+        frame = cv2.GaussianBlur(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), (5, 5), 0)
+        ok, enc = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 88])
+        jpgs.append(enc.tobytes())
+
+    from backscrub_tpu.io.jpeg import JpegEntropyDecoder, parse_header
+    info = parse_header(jpgs[0])
+    pipe_mjpg = FramePipeline(path, PipelineConfig(
+        width=w, height=h, input_format="mjpg", jpeg_info=info))
+    dec = JpegEntropyDecoder()
+    for jpg in jpgs:
+        coefs, qtabs = dec.decode(jpg)
+        ref_frame = cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+        out_b, mask_b = pipe_bgr.step(ref_frame, bg)
+        out_m, mask_m = pipe_mjpg.step(
+            (tuple(c.copy() for c in coefs), qtabs), bg)
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_b))
+        np.testing.assert_array_equal(np.asarray(mask_m), np.asarray(mask_b))
+
+
+def test_jpeg_source_threads_and_eof():
+    from backscrub_tpu.io.streams import JpegSource
+    img = _smooth(48, 64, seed=12)
+    ok, enc = cv2.imencode(".jpg", img, [])
+    jpg = enc.tobytes()
+    n = [0]
+
+    def grab():
+        n[0] += 1
+        return jpg if n[0] <= 5 else None
+
+    src = JpegSource(grab)
+    assert (src.width, src.height) == (64, 48)
+    got = 0
+    while True:
+        f = src.read()
+        if f is None:
+            break
+        coefs, qtabs = f
+        assert coefs[0].dtype == np.int16 and qtabs.shape == (3, 64)
+        got += 1
+    assert 1 <= got <= 5  # latest-frame-wins may skip, never exceeds produced
+    src.close()
+
+
+def test_mjpg_config_validation():
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    path = model_path("segm_lite_v681.tflite")
+    with pytest.raises(ValueError, match="jpeg_info"):
+        FramePipeline(path, PipelineConfig(width=64, height=48,
+                                           input_format="mjpg"))
+    ok, enc = cv2.imencode(".jpg", _smooth(48, 64), [])
+    from backscrub_tpu.io.jpeg import parse_header
+    info = parse_header(enc.tobytes())
+    with pytest.raises(ValueError, match="capture geometry"):
+        FramePipeline(path, PipelineConfig(width=128, height=96,
+                                           input_format="mjpg",
+                                           jpeg_info=info))
