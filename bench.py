@@ -302,8 +302,12 @@ def run_mjpg_config(name):
     rng = np.random.default_rng(4)
     jpegs, decoded = [], []
     for _ in range(8):
-        frame = rng.integers(0, 256, (720, 1280, 3), np.uint8)
-        ok, buf = cv2.imencode(".jpg", frame)
+        # webcam-realistic content: smoothed noise at quality 85 (raw noise
+        # at the default q95 makes ~700 KB frames no camera ever produces,
+        # inflating every host decode number ~5x)
+        frame = cv2.GaussianBlur(
+            rng.integers(0, 256, (720, 1280, 3), np.uint8), (21, 21), 0)
+        ok, buf = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 85])
         assert ok
         jpegs.append(buf)
         decoded.append(cv2.imdecode(buf, cv2.IMREAD_COLOR))
