@@ -52,9 +52,17 @@ class MultiStreamPipeline:
                                    config.flip_vertical, True)
         self._step = jax.jit(raw, donate_argnums=(3,))
 
-    def step(self, frames: np.ndarray, backgrounds: Optional[np.ndarray] = None):
+    def step(self, frames, backgrounds: Optional[np.ndarray] = None):
         S = self.n_streams
-        f = jax.device_put(jnp.asarray(frames), self._batch_sharding)
+        if self.pipe.cfg.input_format == "mjpg":
+            # (coefs per component, per-stream qtabs) — each leaf is
+            # stream-batched on axis 0 and shards over the data axis
+            coefs, qtabs = frames
+            f = (tuple(jax.device_put(jnp.asarray(c), self._batch_sharding)
+                       for c in coefs),
+                 jax.device_put(jnp.asarray(qtabs), self._batch_sharding))
+        else:
+            f = jax.device_put(jnp.asarray(frames), self._batch_sharding)
         if backgrounds is None:
             # green fallback; backgrounds are always BGR (S,H,W,3) even when
             # the camera frames arrive as raw YUYV bytes; cached on device

@@ -106,17 +106,23 @@ def idct_islow(dequant: jnp.ndarray) -> jnp.ndarray:
 
 
 def blocks_to_plane(blocks: jnp.ndarray) -> jnp.ndarray:
-    """(bh, bw, 8, 8) -> (bh*8, bw*8)."""
-    bh, bw = blocks.shape[0], blocks.shape[1]
-    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    """(..., bh, bw, 8, 8) -> (..., bh*8, bw*8)."""
+    *lead, bh, bw, _, _ = blocks.shape
+    perm = tuple(range(len(lead))) + (len(lead), len(lead) + 2,
+                                      len(lead) + 1, len(lead) + 3)
+    return blocks.transpose(perm).reshape(*lead, bh * 8, bw * 8)
 
 
 def dequant_idct_plane(coef: jnp.ndarray, qtab: jnp.ndarray) -> jnp.ndarray:
-    """(bh, bw, 64) int16 raw coefficients + (64,) quant -> (bh*8, bw*8)
-    int32 plane of samples in [0, 255]."""
-    bh, bw = coef.shape[0], coef.shape[1]
-    deq = coef.astype(jnp.int32) * qtab.astype(jnp.int32)
-    return blocks_to_plane(idct_islow(deq.reshape(bh, bw, 8, 8)))
+    """(..., bh, bw, 64) int16 raw coefficients + (..., 64) quant ->
+    (..., bh*8, bw*8) int32 plane of samples in [0, 255].  Leading axes
+    (e.g. a stream batch with per-stream quant tables) broadcast."""
+    *lead, bh, bw, _ = coef.shape
+    q = qtab.astype(jnp.int32)
+    if q.ndim > 1:  # per-item tables: (..., 64) -> (..., 1, 1, 64)
+        q = q.reshape(q.shape[:-1] + (1, 1, 64))
+    deq = coef.astype(jnp.int32) * q
+    return blocks_to_plane(idct_islow(deq.reshape(*lead, bh, bw, 8, 8)))
 
 
 # ---- fancy (triangle) upsamplers, jdsample.c ------------------------------
@@ -139,33 +145,36 @@ def upsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     return _fancy_h2(plane, 1, 2, 2)
 
 
+def _interleave_rows(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
+    """Zip two (..., h, w) arrays into (..., 2h, w)."""
+    h, w = even.shape[-2], even.shape[-1]
+    return jnp.stack([even, odd], axis=-2).reshape(*even.shape[:-2], 2 * h, w)
+
+
 def upsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
-    """h1v2_fancy_upsample (libjpeg-turbo, for 4:4:0): (h, w) -> (2h, w)."""
-    up = jnp.concatenate([plane[:1], plane[:-1]], axis=0)
-    down = jnp.concatenate([plane[1:], plane[-1:]], axis=0)
+    """h1v2_fancy_upsample (libjpeg-turbo, for 4:4:0): (..., h, w) ->
+    (..., 2h, w)."""
+    up = jnp.concatenate([plane[..., :1, :], plane[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([plane[..., 1:, :], plane[..., -1:, :]], axis=-2)
     even = (plane * 3 + up + 1) >> 2
     odd = (plane * 3 + down + 2) >> 2
-    return jnp.stack([even, odd], axis=1).reshape(plane.shape[0] * 2,
-                                                  plane.shape[1])
+    return _interleave_rows(even, odd)
 
 
 def upsample_h2v2(plane: jnp.ndarray) -> jnp.ndarray:
-    """h2v2_fancy_upsample: (h, w) -> (2h, 2w).
+    """h2v2_fancy_upsample: (..., h, w) -> (..., 2h, 2w).
 
     Vertical triangle first (colsum = 3*this + nearer-neighbor row), then
     the horizontal pass on the 12-bit sums with biases 8/7 and >>4."""
-    up = jnp.concatenate([plane[:1], plane[:-1]], axis=0)
-    down = jnp.concatenate([plane[1:], plane[-1:]], axis=0)
-    colsum_even = plane * 3 + up      # output row 2r
-    colsum_odd = plane * 3 + down     # output row 2r+1
-    rows = jnp.stack([colsum_even, colsum_odd], axis=1).reshape(
-        plane.shape[0] * 2, plane.shape[1])
+    up = jnp.concatenate([plane[..., :1, :], plane[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([plane[..., 1:, :], plane[..., -1:, :]], axis=-2)
+    rows = _interleave_rows(plane * 3 + up, plane * 3 + down)
     return _fancy_h2(rows, 8, 7, 4)
 
 
 def upsample_int(plane: jnp.ndarray, h_expand: int, v_expand: int) -> jnp.ndarray:
     """int_upsample: pixel replication for unusual sampling ratios."""
-    return jnp.repeat(jnp.repeat(plane, v_expand, axis=0), h_expand, axis=1)
+    return jnp.repeat(jnp.repeat(plane, v_expand, axis=-2), h_expand, axis=-1)
 
 
 def upsample_plane(plane: jnp.ndarray, h: int, v: int, hmax: int,
@@ -204,25 +213,28 @@ def ycc_to_bgr(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
 
 def decode_jpeg_bgr(coefs: Sequence[jnp.ndarray], qtabs: jnp.ndarray,
                     info: JpegInfo) -> jnp.ndarray:
-    """Full device decode: raw coefficients -> (H, W, 3) BGR u8 (or (H, W, 3)
+    """Full device decode: raw coefficients -> (..., H, W, 3) BGR u8 (or
     replicated gray for 1-component JPEGs), bit-exact vs cv2.imdecode.
 
     ``info`` is static (fixed per MJPG stream) and baked into the jitted
-    program; ``coefs``/``qtabs`` are runtime arrays.
+    program; ``coefs`` ((..., bh, bw, 64) int16 per component) and
+    ``qtabs`` ((..., ncomp, 64) u16) are runtime arrays.  Leading axes
+    batch — a stream batch decodes S frames in one fused dispatch with
+    per-stream quant tables (parallel/streams.py).
     """
     hmax = max(s[0] for s in info.sampling)
     vmax = max(s[1] for s in info.sampling)
     planes = []
     for c in range(info.ncomp):
-        plane = dequant_idct_plane(coefs[c], qtabs[c])
+        plane = dequant_idct_plane(coefs[c], qtabs[..., c, :])
         # crop the MCU padding BEFORE upsampling: libjpeg's border math
         # clamps at downsampled_width, not the padded block width
         h, v = info.sampling[c]
         cw = -(-info.width * h // hmax)
         ch = -(-info.height * v // vmax)
-        plane = plane[:ch, :cw]
+        plane = plane[..., :ch, :cw]
         plane = upsample_plane(plane, h, v, hmax, vmax)
-        planes.append(plane[:info.height, :info.width])
+        planes.append(plane[..., :info.height, :info.width])
     if info.ncomp == 1:
         gray = jnp.clip(planes[0], 0, 255).astype(jnp.uint8)
         return jnp.stack([gray, gray, gray], axis=-1)

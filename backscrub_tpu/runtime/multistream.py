@@ -91,8 +91,11 @@ class MultiStreamServer:
     """Serve S streams through one MultiStreamPipeline.
 
     ``sources``: S callables -> frame or None at EOF.  Frame shape follows
-    the pipeline's ``input_format``: (H, W, 3) BGR u8, or (H, 2W) raw YUYV
-    bytes for device-side ingest.
+    the pipeline's ``input_format``: (H, W, 3) BGR u8, (H, 2W) raw YUYV
+    bytes, (3H/2, W) NV12 bytes, or — for ``mjpg`` — the
+    ``(coefs, qtabs)`` tuples a :class:`..io.streams.JpegSource` yields
+    (all streams in a batch must share geometry AND chroma sampling; the
+    per-stream quant tables ride the batch as data).
     ``sinks``:   S callables receiving the packed per-stream output.
     ``backgrounds``: optional callable -> (S, H, W, 3) u8 batch per tick,
     or a static (S, H, W, 3) array (uploaded to the device ONCE); None =
@@ -122,14 +125,24 @@ class MultiStreamServer:
         self.depth = depth
         self.stall_timeout = stall_timeout
         cfg = ms.pipe.cfg
-        if cfg.input_format == "yuyv":
-            self._shape = (cfg.height, 2 * cfg.width)
-        elif cfg.input_format == "nv12":
-            self._shape = (cfg.height * 3 // 2, cfg.width)
-        else:
-            self._shape = (cfg.height, cfg.width, 3)
         self.n_real = len(self.sources)  # slots beyond this are padding
-        self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)
+        self._mjpg = cfg.input_format == "mjpg"
+        if self._mjpg:
+            # stream frames are (coefs tuple, qtabs); batch each leaf
+            info = cfg.jpeg_info
+            self._shape = None
+            self._frames = (
+                tuple(np.zeros((ms.n_streams, bh, bw, 64), np.int16)
+                      for bh, bw in info.blocks),
+                np.zeros((ms.n_streams, info.ncomp, 64), np.uint16))
+        else:
+            if cfg.input_format == "yuyv":
+                self._shape = (cfg.height, 2 * cfg.width)
+            elif cfg.input_format == "nv12":
+                self._shape = (cfg.height * 3 // 2, cfg.width)
+            else:
+                self._shape = (cfg.height, cfg.width, 3)
+            self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)
         self._live = [True] * self.n_real
         self._ever = [False] * self.n_real  # produced at least one frame
         self._readers: Optional[List[_Reader]] = None
@@ -139,6 +152,25 @@ class MultiStreamServer:
             self.backgrounds = jax.device_put(
                 self._pad_batch(np.asarray(backgrounds)), ms._batch_sharding)
         self._ring: collections.deque = collections.deque()
+
+    def _store(self, s: int, frame) -> None:
+        """Write one stream's frame into batch slot s (validating shape)."""
+        if self._mjpg:
+            coefs, qtabs = frame
+            bcoefs, bqt = self._frames
+            for c, arr in enumerate(coefs):
+                if arr.shape != bcoefs[c].shape[1:]:
+                    raise ValueError(
+                        f"stream {s}: coefficient shape {arr.shape} != "
+                        f"{bcoefs[c].shape[1:]} (all streams in a batch must "
+                        "share the MJPG geometry/sampling)")
+                bcoefs[c][s] = arr
+            bqt[s] = qtabs
+            return
+        if frame.shape != self._shape:
+            raise ValueError(
+                f"stream {s}: frame shape {frame.shape} != {self._shape}")
+        self._frames[s] = frame
 
     # -- one gather: fill self._frames, return per-stream "fresh" flags ----
     def _gather_pull(self) -> List[bool]:
@@ -150,10 +182,7 @@ class MultiStreamServer:
             if frame is None:
                 self._live[s] = False
                 continue
-            if frame.shape != self._shape:
-                raise ValueError(
-                    f"stream {s}: frame shape {frame.shape} != {self._shape}")
-            self._frames[s] = frame
+            self._store(s, frame)
             fresh[s] = True
             self._ever[s] = True
         return fresh
@@ -166,7 +195,7 @@ class MultiStreamServer:
                 continue
             latest, seq, done = r.snapshot()
             if latest is not None and seq != r._consumed:
-                self._frames[s] = latest
+                self._store(s, latest)
                 r._consumed = seq
                 fresh[s] = True
                 self._ever[s] = True

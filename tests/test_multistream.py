@@ -336,3 +336,45 @@ def test_multistream_server_nv12_ingest(rng):
                                [g.append for g in got])
     assert server.run() == 2
     assert all(len(g) == 2 and g[0].shape == (48, 128) for g in got)
+
+
+@needs_8
+def test_multistream_server_mjpg_ingest(rng):
+    """input_format='mjpg': per-stream JPEG coefficient frames batch into
+    one fused decode+mask+composite dispatch, bit-identical to solo runs."""
+    import cv2
+    from backscrub_tpu.io.jpeg import JpegEntropyDecoder, parse_header
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    w, h = 64, 48
+    jpgs, per_stream = [], []
+    for s in range(S):
+        img = cv2.GaussianBlur(rng.integers(0, 256, (h, w, 3), np.uint8),
+                               (5, 5), 0)
+        # per-stream quality -> per-stream quant tables ride the batch
+        ok, enc = cv2.imencode(".jpg", img,
+                               [cv2.IMWRITE_JPEG_QUALITY, 70 + 3 * s])
+        jpgs.append(enc.tobytes())
+    info = parse_header(jpgs[0])
+    cfg = PipelineConfig(width=w, height=h, use_bilateral=False,
+                         input_format="mjpg", jpeg_info=info)
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+
+    decs = [JpegEntropyDecoder() for _ in range(S)]
+    for s in range(S):
+        coefs, qtabs = decs[s].decode(jpgs[s])
+        per_stream.append((tuple(c.copy() for c in coefs), qtabs))
+    iters = [iter([f] * 2) for f in per_stream]
+    got = [[] for _ in range(S)]
+    server = MultiStreamServer(ms, [lambda it=it: next(it, None) for it in iters],
+                               [g.append for g in got])
+    assert server.run() == 2
+    assert all(len(g) == 2 and g[0].shape == (h, 2 * w) for g in got)
+
+    # stream 2 must equal an independent single-stream mjpg pipeline
+    single = FramePipeline(path, cfg)
+    out_s, _ = single.step(per_stream[2])
+    np.testing.assert_array_equal(got[2][0], np.asarray(out_s))
