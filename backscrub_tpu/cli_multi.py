@@ -12,7 +12,7 @@ Usage:
       --stream src=/dev/video0,sink=/dev/video2,geo=1280x720
       --stream src=/dev/video1,sink=/dev/video3,geo=640x480
 
-Stream spec keys: ``src`` (URI: /dev/videoN | file:PATH | test:),
+Stream spec keys: ``src`` (URI: /dev/videoN | file:PATH | test: | mjpg:),
 ``sink`` (URI: /dev/videoN | file:PATH | null:), ``geo`` (WxH),
 optional ``bg`` (still image path; overrides the shared -b for this
 stream).  Backgrounds are static stills here — per-stream video
@@ -145,7 +145,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             bg = load_bg(s.get("bg", cfg["background"]), w, h)
             sources.append(src)
             sinks.append(sink)
-            streams.append((src.read, sink.write_yuyv, w, h, bg))
+            # MJPG cameras deliver entropy-decoded coefficients; their
+            # bucket decodes on device (runtime/multistream.py)
+            jinfo = getattr(src, "jpeg_info", None)
+            streams.append((src.read, sink.write_yuyv, w, h, bg, jinfo))
     except OSError as e:
         print(f"Error: {e}", file=sys.stderr)
         for s_ in sources:

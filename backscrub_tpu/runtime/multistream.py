@@ -308,9 +308,12 @@ class MultiGeometryServer:
     processes (app/deepseg.cc:627-804).  Per-stream outputs are
     bit-identical to running that stream alone (tested).
 
-    ``streams``: sequence of (source, sink, width, height[, background])
-    tuples; ``background`` is an optional static (height, width, 3) BGR u8
-    array (None = green screen).
+    ``streams``: sequence of (source, sink, width, height[, background
+    [, jpeg_info]]) tuples; ``background`` is an optional static
+    (height, width, 3) BGR u8 array (None = green screen); ``jpeg_info``
+    (io.jpeg.JpegInfo, e.g. a CameraSource/JpegSource's ``.jpeg_info``)
+    marks the stream as MJPG coefficient frames — such streams bucket by
+    geometry AND chroma sampling and decode on device.
     """
 
     def __init__(self, model: str, config, streams: Sequence[tuple],
@@ -323,12 +326,16 @@ class MultiGeometryServer:
         for entry in streams:
             src, sink, w, h = entry[:4]
             bg = entry[4] if len(entry) > 4 else None
-            groups.setdefault((w, h), []).append((src, sink, bg))
+            jinfo = entry[5] if len(entry) > 5 else None
+            key = (w, h, jinfo.sampling if jinfo is not None else None)
+            groups.setdefault(key, (jinfo, []))[1].append((src, sink, bg))
         data_axis = mesh.shape["data"]
         self.servers: List[MultiStreamServer] = []
-        for (w, h), members in groups.items():
-            cfg = dataclasses.replace(config, width=w, height=h,
-                                      out_width=w, out_height=h)
+        for (w, h, _skey), (jinfo, members) in groups.items():
+            cfg = dataclasses.replace(
+                config, width=w, height=h, out_width=w, out_height=h,
+                input_format="mjpg" if jinfo is not None else config.input_format,
+                jpeg_info=jinfo if jinfo is not None else config.jpeg_info)
             n_slots = math.ceil(len(members) / data_axis) * data_axis
             ms = MultiStreamPipeline(model, cfg, n_slots, mesh, **pipe_kwargs)
             bgs = None

@@ -378,3 +378,55 @@ def test_multistream_server_mjpg_ingest(rng):
     single = FramePipeline(path, cfg)
     out_s, _ = single.step(per_stream[2])
     np.testing.assert_array_equal(got[2][0], np.asarray(out_s))
+
+
+@needs_8
+def test_multigeometry_server_mixed_bgr_and_mjpg(rng):
+    """A BGR stream and an MJPG stream (different geometries) in ONE
+    server: the MJPG bucket decodes on device; both bit-identical to solo."""
+    import cv2
+    from backscrub_tpu.io.jpeg import JpegEntropyDecoder, parse_header
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    N = 2
+
+    bgr_frames = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(N)]
+    jpgs = []
+    for _ in range(N):
+        img = cv2.GaussianBlur(rng.integers(0, 256, (64, 80, 3), np.uint8),
+                               (5, 5), 0)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        jpgs.append(enc.tobytes())
+    info = parse_header(jpgs[0])
+    dec = JpegEntropyDecoder()
+    mjpg_frames = []
+    for jpg in jpgs:
+        coefs, qtabs = dec.decode(jpg)
+        mjpg_frames.append((tuple(c.copy() for c in coefs), qtabs))
+
+    def make_source(seq):
+        it = iter(seq)
+        return lambda: next(it, None)
+
+    out_bgr, out_mjpg = [], []
+    streams = [
+        (make_source(bgr_frames), out_bgr.append, 64, 48, None),
+        (make_source(mjpg_frames), out_mjpg.append, 80, 64, None, info),
+    ]
+    server = MultiGeometryServer(path, cfg, streams, mesh)
+    assert server.n_groups == 2
+    assert server.run() == N
+
+    solo_bgr = FramePipeline(path, PipelineConfig(width=64, height=48,
+                                                  use_bilateral=False))
+    solo_mjpg = FramePipeline(path, PipelineConfig(
+        width=80, height=64, use_bilateral=False,
+        input_format="mjpg", jpeg_info=info))
+    for i in range(N):
+        o, _ = solo_bgr.step(bgr_frames[i])
+        np.testing.assert_array_equal(out_bgr[i], np.asarray(o))
+        o, _ = solo_mjpg.step(mjpg_frames[i])
+        np.testing.assert_array_equal(out_mjpg[i], np.asarray(o))
