@@ -22,6 +22,7 @@ import threading
 from typing import Callable, Optional
 
 import numpy as np
+import jax
 
 from ..io.staging import StagingRing
 from ..pipeline.frame import FramePipeline
@@ -97,6 +98,11 @@ class ServingLoop:
         if self.staging is not None:
             if isinstance(frame, np.ndarray):
                 frame = self.staging.upload(frame)
+            elif isinstance(frame, tuple):
+                # mjpg coefficient frames: stage every ndarray leaf
+                frame = jax.tree_util.tree_map(
+                    lambda x: (self.staging.upload(x)
+                               if isinstance(x, np.ndarray) else x), frame)
             if isinstance(background, np.ndarray):
                 background = self.staging.upload(background)
         out, _mask = self.pipe.step(frame, background, **step_kwargs)

@@ -75,3 +75,44 @@ def test_serving_loop_staged_matches_plain(rng):
     assert len(outs[False]) == len(outs[True]) == len(frames)
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_serving_loop_staged_mjpg_tuple_frames():
+    """staging=True must stage every leaf of an mjpg coefficient frame
+    (tuple pytree), bit-identical to the unstaged path."""
+    import cv2
+    from backscrub_tpu.io.jpeg import JpegEntropyDecoder, parse_header
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    from backscrub_tpu.runtime.serving import ServingLoop
+    from conftest import model_path
+
+    rng = np.random.default_rng(21)
+    w, h = 64, 48
+    jpgs = []
+    for _ in range(3):
+        img = cv2.GaussianBlur(rng.integers(0, 256, (h, w, 3), np.uint8),
+                               (5, 5), 0)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        jpgs.append(enc.tobytes())
+    info = parse_header(jpgs[0])
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=w, height=h, use_bilateral=False,
+                         input_format="mjpg", jpeg_info=info)
+
+    def frames():
+        dec = JpegEntropyDecoder()
+        for jpg in jpgs:
+            coefs, qtabs = dec.decode(jpg)
+            yield (tuple(c.copy() for c in coefs), qtabs)
+
+    outs = {}
+    for staged in (False, True):
+        pipe = FramePipeline(path, cfg)
+        loop = ServingLoop(pipe, depth=2, staging=staged)
+        got = []
+        it = frames()
+        n = loop.run(lambda: next(it, None), lambda o: got.append(o.copy()))
+        assert n == 3 and len(got) == 3
+        outs[staged] = got
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
