@@ -62,11 +62,16 @@ def load_bsjpeg() -> ctypes.CDLL:
     if _LIB is not None:
         return _LIB
     path = _find_lib()
-    if path is None:
+    try:
+        if path is None:
+            raise OSError("no candidate path")
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        # the bare-soname fallback makes _find_lib never return None, so
+        # the dlopen failure is the real "not found" signal
         raise RuntimeError(
             "libbsjpeg.so not found — build it with: cmake -S native -B "
-            "native/build && cmake --build native/build")
-    lib = ctypes.CDLL(path)
+            f"native/build && cmake --build native/build ({e})") from None
     lib.bsjpeg_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                  ctypes.POINTER(_BsjpegInfo)]
     lib.bsjpeg_parse.restype = ctypes.c_int
@@ -134,40 +139,50 @@ class JpegEntropyDecoder:
 
     A camera's MJPG stream keeps one geometry for its lifetime, so the
     first frame fixes the static shapes (and hence the jitted device
-    program); later frames reuse the buffers.  ``decode(jpg)`` returns
-    ``(coefs, qtabs)``:
+    program); later frames reuse the buffers and cost ONE native call
+    (bsjpeg_decode verifies geometry and returns fresh quant tables
+    itself).  ``decode(jpg)`` returns ``(coefs, qtabs)``:
 
     - ``coefs``: list of ``(blocks_h, blocks_w, 64) int16`` arrays, natural
       8x8 order, RAW quantized values (device multiplies by qtab);
     - ``qtabs``: ``(ncomp, 64) uint16`` dequant tables in natural order
       (runtime data — some encoders re-tune tables per frame).
+
+    ``max_pixels`` bounds the coefficient allocation a hostile/corrupt
+    first frame can demand (default 4K with margin; the decode contract
+    stays ValueError-only instead of surfacing a MemoryError).
     """
 
-    def __init__(self):
+    def __init__(self, max_pixels: int = 16 << 20):
         self.lib = load_bsjpeg()
         self.info: Optional[JpegInfo] = None
+        self.max_pixels = max_pixels
         self._ci = _BsjpegInfo()
         self._coefs: List[np.ndarray] = []
 
     def decode(self, jpg: bytes) -> Tuple[List[np.ndarray], np.ndarray]:
         buf = bytes(jpg)
         ci = self._ci
-        rc = self.lib.bsjpeg_parse(buf, len(buf), ctypes.byref(ci))
-        if rc != 0:
-            _raise(rc, "parse")
-        info = _to_info(ci)
-        if info != self.info:
-            if self.info is not None:
+        if self.info is None:  # first frame fixes the static shapes
+            rc = self.lib.bsjpeg_parse(buf, len(buf), ctypes.byref(ci))
+            if rc != 0:
+                _raise(rc, "parse")
+            info = _to_info(ci)
+            if info.width * info.height > self.max_pixels:
                 raise ValueError(
-                    f"MJPG stream changed geometry mid-stream: {self.info} "
-                    f"-> {info} (reopen the decoder)")
+                    f"JPEG is {info.width}x{info.height} "
+                    f"(> max_pixels={self.max_pixels}); refusing to allocate")
             self.info = info
             self._coefs = [np.empty((bh, bw, 64), np.int16)
                            for bh, bw in info.blocks]
         ptrs = [c.ctypes.data for c in self._coefs] + [None, None]
         rc = self.lib.bsjpeg_decode(buf, len(buf), ctypes.byref(ci),
                                     ptrs[0], ptrs[1], ptrs[2])
+        if rc == -5:  # BADARG: this frame's geometry/sampling differs
+            raise ValueError(
+                f"MJPG stream changed geometry mid-stream (was {self.info}); "
+                "reopen the decoder")
         if rc != 0:
             _raise(rc, "decode")
-        qtabs = np.ctypeslib.as_array(ci.qtab)[:info.ncomp].copy()
+        qtabs = np.ctypeslib.as_array(ci.qtab)[:self.info.ncomp].copy()
         return self._coefs, qtabs

@@ -47,7 +47,11 @@ class LatestFrameReader:
         while not self._stop:
             try:
                 f = self._fn()
-            except Exception:
+            except Exception as e:
+                # a dying reader must be visible, not a silent EOF (e.g.
+                # JpegSource's "stream changed geometry" ValueError)
+                import sys
+                print(f"frame reader failed: {e!r}", file=sys.stderr)
                 f = None
             with self._cond:
                 if f is None or self._stop:

@@ -36,11 +36,16 @@ def load_bsio() -> ctypes.CDLL:
     if _LIB is not None:
         return _LIB
     path = _find_lib()
-    if path is None:
+    try:
+        if path is None:
+            raise OSError("no candidate path")
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        # the bare-soname fallback makes _find_lib never return None, so
+        # the dlopen failure is the real "not found" signal
         raise RuntimeError(
-            "libbsio.so not found — build it with: cmake -S native -B native/build && "
-            "cmake --build native/build")
-    lib = ctypes.CDLL(path)
+            "libbsio.so not found — build it with: cmake -S native -B "
+            f"native/build && cmake --build native/build ({e})") from None
     try:
         lib.bsio_loopback_init_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                                ctypes.c_int, ctypes.c_uint32]

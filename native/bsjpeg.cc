@@ -332,6 +332,9 @@ struct Parser {
           ncomp = u8();
           if (ncomp != 1 && ncomp != 3) return BSJPEG_ERR_UNSUPPORTED;
           if (width <= 0 || height <= 0) return BSJPEG_ERR_CORRUPT;
+          // sanity cap: bounds coefficient-buffer allocations against
+          // hostile SOF dims (largest real MJPG streams are 4K)
+          if (width > 16384 || height > 16384) return BSJPEG_ERR_UNSUPPORTED;
           for (int c = 0; c < ncomp; c++) {
             comp_id[c] = u8();
             int hv = u8();
@@ -496,12 +499,17 @@ BSJPEG_API int bsjpeg_parse(const uint8_t* data, int64_t len,
 }
 
 // Full entropy decode.  `coef[c]` must hold blocks_h[c]*blocks_w[c]*64
-// int16s (from a prior bsjpeg_parse with the same bytes); they are fully
+// int16s (sized from a prior bsjpeg_parse of this stream); they are fully
 // overwritten, laid out (blocks_h, blocks_w, 64) with each 64 in natural
 // (row-major 8x8) order.  Values are RAW quantized coefficients — the
 // device multiplies by qtab and runs the IDCT.
+//
+// `info` is IN/OUT: geometry in (verified against this frame — BADARG if
+// the stream changed shape/sampling), fresh per-frame quant tables out.
+// One call per frame does everything; no separate bsjpeg_parse needed
+// after the first frame.
 BSJPEG_API int bsjpeg_decode(const uint8_t* data, int64_t len,
-                             const bsjpeg_info_t* info, int16_t* coef0,
+                             bsjpeg_info_t* info, int16_t* coef0,
                              int16_t* coef1, int16_t* coef2) {
   if (!data || !info || !coef0) return BSJPEG_ERR_BADARG;
   if (info->ncomp == 3 && (!coef1 || !coef2)) return BSJPEG_ERR_BADARG;
@@ -521,11 +529,13 @@ BSJPEG_API int bsjpeg_decode(const uint8_t* data, int64_t len,
       return BSJPEG_ERR_BADARG;
     for (int c = 0; c < now.ncomp; c++) {
       if (now.blocks_w[c] != info->blocks_w[c] ||
-          now.blocks_h[c] != info->blocks_h[c])
+          now.blocks_h[c] != info->blocks_h[c] ||
+          now.h[c] != info->h[c] || now.v[c] != info->v[c])
         return BSJPEG_ERR_BADARG;
       std::memset(coef[c], 0,
                   (size_t)now.blocks_w[c] * now.blocks_h[c] * 64 * sizeof(int16_t));
     }
+    *info = now;  // fresh per-frame quant tables out
   }
   ps.install_default_huffman();
 

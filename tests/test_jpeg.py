@@ -272,3 +272,39 @@ def test_fuzz_byte_flips_never_crash():
         except ValueError:
             rejected += 1
     assert decoded + rejected == 300
+
+
+def test_oversized_sof_rejected():
+    """Hostile SOF dims must reject cleanly (ValueError), not OOM: the C
+    side caps dims at 16384 and the decoder caps total pixels before
+    allocating coefficient buffers."""
+    img = _smooth(16, 16)
+    ok, enc = cv2.imencode(".jpg", img, [])
+    b = bytearray(enc.tobytes())
+    # find SOF0 and patch height/width to 0x3FF0 (16368 — passes the C cap,
+    # 268 MP fails the python max_pixels cap)
+    i = 2
+    while not (b[i] == 0xFF and b[i + 1] == 0xC0):
+        i += 2 + ((b[i + 2] << 8) | b[i + 3])
+    b[i + 5:i + 9] = bytes([0x3F, 0xF0, 0x3F, 0xF0])
+    dec = JpegEntropyDecoder()
+    with pytest.raises(ValueError, match="max_pixels"):
+        dec.decode(bytes(b))
+    # beyond the C-side cap -> unsupported at parse
+    b[i + 5:i + 9] = bytes([0xFF, 0xF0, 0xFF, 0xF0])
+    with pytest.raises(ValueError, match="unsupported|corrupt"):
+        parse_header(bytes(b))
+
+
+def test_single_native_call_per_frame_refreshes_qtabs():
+    """After the first frame, decode() is one bsjpeg_decode call that still
+    returns the CURRENT frame's quant tables (some encoders re-tune them)."""
+    img = _smooth(32, 48, seed=5)
+    ok1, e1 = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 60])
+    ok2, e2 = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    dec = JpegEntropyDecoder()
+    _, q60 = dec.decode(e1.tobytes())
+    _, q95 = dec.decode(e2.tobytes())   # same geometry, new tables
+    assert not np.array_equal(q60, q95)
+    _, q60b = dec.decode(e1.tobytes())
+    np.testing.assert_array_equal(q60, q60b)
