@@ -186,3 +186,77 @@ class JpegEntropyDecoder:
             _raise(rc, "decode")
         qtabs = np.ctypeslib.as_array(ci.qtab)[:self.info.ncomp].copy()
         return self._coefs, qtabs
+
+
+def _encode_argtypes(lib):
+    if getattr(lib, "_enc_typed", False):
+        return
+    lib.bsjpeg_encode.argtypes = [ctypes.POINTER(_BsjpegInfo),
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64]
+    lib.bsjpeg_encode.restype = ctypes.c_int64
+    lib._enc_typed = True
+
+
+def make_info(width: int, height: int, sampling=((2, 2), (1, 1), (1, 1)),
+              ncomp: int = 3) -> JpegInfo:
+    """Build the static JpegInfo for an ENCODER stream (mirrors the
+    geometry the decoder derives from SOF): MCU-padded block dims."""
+    hmax = max(s[0] for s in sampling[:ncomp])
+    vmax = max(s[1] for s in sampling[:ncomp])
+    mx = -(-width // (8 * hmax))
+    my = -(-height // (8 * vmax))
+    return JpegInfo(
+        width=width, height=height, ncomp=ncomp,
+        sampling=tuple(sampling[:ncomp]),
+        blocks=tuple((my * v, mx * h) for h, v in sampling[:ncomp]))
+
+
+class JpegHuffmanEncoder:
+    """Host half of MJPG *encode*: pack device-produced quantized
+    coefficients (pipeline/jpeg_enc.py) into a baseline JPEG stream.
+
+    Headers + Annex K Huffman tables follow libjpeg's layout, so for the
+    bit-exact device coefficients the emitted bytes match cv2.imencode
+    (libjpeg-turbo defaults, optimize=off).  The output buffer grows on
+    demand and is reused across frames.
+    """
+
+    def __init__(self, info: JpegInfo, qtabs: np.ndarray):
+        self.lib = load_bsjpeg()
+        _encode_argtypes(self.lib)
+        self.info = info
+        self._ci = _BsjpegInfo()
+        self._ci.width = info.width
+        self._ci.height = info.height
+        self._ci.ncomp = info.ncomp
+        for c in range(info.ncomp):
+            self._ci.h[c], self._ci.v[c] = info.sampling[c]
+            self._ci.blocks_h[c], self._ci.blocks_w[c] = info.blocks[c]
+            for i in range(64):
+                self._ci.qtab[c][i] = int(qtabs[c][i])
+        # worst case: ~2 bytes per coefficient + headers
+        cap = info.width * info.height * 8 + 4096
+        self._buf = np.empty(cap, np.uint8)
+
+    def encode(self, coefs) -> bytes:
+        arrs = [np.ascontiguousarray(np.asarray(c), dtype=np.int16)
+                for c in coefs]
+        for c, a in enumerate(arrs):
+            bh, bw = self.info.blocks[c]
+            if a.shape != (bh, bw, 64):
+                raise ValueError(f"component {c}: coefficient shape "
+                                 f"{a.shape} != {(bh, bw, 64)}")
+        ptrs = [a.ctypes.data for a in arrs] + [None, None]
+        n = self.lib.bsjpeg_encode(ctypes.byref(self._ci), ptrs[0], ptrs[1],
+                                   ptrs[2], self._buf.ctypes.data,
+                                   self._buf.nbytes)
+        if n < 0:
+            _raise(int(n), "encode")
+        if n > self._buf.nbytes:  # grew past the buffer: retry exact-size
+            self._buf = np.empty(int(n), np.uint8)
+            n = self.lib.bsjpeg_encode(ctypes.byref(self._ci), ptrs[0],
+                                       ptrs[1], ptrs[2],
+                                       self._buf.ctypes.data, self._buf.nbytes)
+        return self._buf[:int(n)].tobytes()

@@ -621,3 +621,234 @@ BSJPEG_API int bsjpeg_decode(const uint8_t* data, int64_t len,
     if (prc != BSJPEG_OK) return prc;
   }
 }
+
+// ===========================================================================
+// Encoder: quantized coefficients -> baseline JPEG stream (Huffman pack).
+//
+// The device produced the coefficients (pipeline/jpeg_enc.py: fixed-point
+// color conversion, downsampling, islow FDCT, quantization — all bit-exact
+// vs libjpeg); this side only does the bit-serial part: headers + Huffman.
+// Header layout and table emission order mirror libjpeg's jcmarker.c
+// (SOI, JFIF APP0, per-table DQT, SOF0, per-table DHT, SOS), and the
+// entropy coding uses the ITU T.81 Annex K tables — so for matching
+// coefficients the whole stream matches cv2.imencode (optimize=off).
+// ===========================================================================
+
+namespace {
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t n = 0;
+  uint64_t acc = 0;
+  int bits = 0;
+
+  void put_byte(uint8_t b) {
+    if (n < cap) out[n] = b;
+    n++;  // keep counting so the caller learns the needed size
+  }
+  void put16(uint16_t v) {
+    put_byte((uint8_t)(v >> 8));
+    put_byte((uint8_t)v);
+  }
+  void put_bits(uint32_t code, int len) {
+    if (!len) return;
+    acc = (acc << len) | (code & ((1u << len) - 1));
+    bits += len;
+    while (bits >= 8) {
+      uint8_t b = (uint8_t)(acc >> (bits - 8));
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);  // stuffing
+      bits -= 8;
+    }
+  }
+  void flush_bits() {  // pad the last byte with 1-bits (T.81 F.1.2.3)
+    if (bits) {
+      uint8_t b = (uint8_t)((acc << (8 - bits)) | ((1u << (8 - bits)) - 1));
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);
+      bits = 0;
+    }
+  }
+};
+
+// canonical encode table: symbol -> (code, length)
+struct EncTable {
+  uint16_t code[256];
+  uint8_t len[256];
+  void build(const uint8_t bits[17], const uint8_t* vals, int nvals) {
+    std::memset(len, 0, sizeof len);
+    int c = 0, k = 0;
+    for (int l = 1; l <= 16; l++) {
+      for (int i = 0; i < bits[l] && k < nvals; i++, k++, c++) {
+        code[vals[k]] = (uint16_t)c;
+        len[vals[k]] = (uint8_t)l;
+      }
+      c <<= 1;
+    }
+  }
+};
+
+inline int bit_width(int v) {  // category of |v| (v >= 0)
+  int n = 0;
+  while (v) {
+    v >>= 1;
+    n++;
+  }
+  return n;
+}
+
+void encode_block(BitWriter& bw, const int16_t* blk /*natural order*/,
+                  const EncTable& dc, const EncTable& ac, int32_t* pred) {
+  // DC: category + extend bits of the diff (T.81 F.1.2.1)
+  int32_t diff = blk[0] - *pred;
+  *pred = blk[0];
+  int32_t t = diff < 0 ? -diff : diff;
+  int nbits = bit_width(t);
+  bw.put_bits(dc.code[nbits], dc.len[nbits]);
+  if (nbits) bw.put_bits((uint32_t)(diff < 0 ? diff - 1 : diff), nbits);
+  // AC: run/size with ZRL + EOB (T.81 F.1.2.2), zigzag scan order
+  int run = 0;
+  for (int k = 1; k < 64; k++) {
+    int32_t v = blk[kZigzag[k]];
+    if (v == 0) {
+      run++;
+      continue;
+    }
+    while (run > 15) {
+      bw.put_bits(ac.code[0xF0], ac.len[0xF0]);  // ZRL
+      run -= 16;
+    }
+    int32_t a = v < 0 ? -v : v;
+    int s = bit_width(a);
+    bw.put_bits(ac.code[(run << 4) | s], ac.len[(run << 4) | s]);
+    bw.put_bits((uint32_t)(v < 0 ? v - 1 : v), s);
+    run = 0;
+  }
+  if (run) bw.put_bits(ac.code[0x00], ac.len[0x00]);  // EOB
+}
+
+void emit_dqt(BitWriter& bw, int id, const uint16_t* qtab_natural) {
+  bw.put_byte(0xFF);
+  bw.put_byte(0xDB);
+  bw.put16(2 + 1 + 64);
+  bw.put_byte((uint8_t)id);  // Pq=0 (8-bit), Tq=id
+  for (int i = 0; i < 64; i++) {
+    uint16_t v = qtab_natural[kZigzag[i]];
+    bw.put_byte((uint8_t)(v > 255 ? 255 : v));
+  }
+}
+
+void emit_dht(BitWriter& bw, int cls, int id, const uint8_t bits[17],
+              const uint8_t* vals) {
+  int total = 0;
+  for (int l = 1; l <= 16; l++) total += bits[l];
+  bw.put_byte(0xFF);
+  bw.put_byte(0xC4);
+  bw.put16((uint16_t)(2 + 1 + 16 + total));
+  bw.put_byte((uint8_t)((cls << 4) | id));
+  for (int l = 1; l <= 16; l++) bw.put_byte(bits[l]);
+  for (int i = 0; i < total; i++) bw.put_byte(vals[i]);
+}
+
+}  // namespace
+
+// Pack quantized coefficients into a complete baseline JPEG.  `coef[c]`
+// layout matches bsjpeg_decode's output: (blocks_h, blocks_w, 64) int16,
+// natural order.  Returns the stream length in bytes (callers pass a
+// buffer of at least that; probe with out=null/cap=0), or a negative
+// error code.
+BSJPEG_API int64_t bsjpeg_encode(const bsjpeg_info_t* info,
+                                 const int16_t* coef0, const int16_t* coef1,
+                                 const int16_t* coef2, uint8_t* out,
+                                 int64_t cap) {
+  if (!info || !coef0) return BSJPEG_ERR_BADARG;
+  int nc = info->ncomp;
+  if (nc != 1 && nc != 3) return BSJPEG_ERR_BADARG;
+  if (nc == 3 && (!coef1 || !coef2)) return BSJPEG_ERR_BADARG;
+  if (info->width <= 0 || info->height <= 0 || info->width > 16384 ||
+      info->height > 16384)
+    return BSJPEG_ERR_BADARG;
+  const int16_t* coef[3] = {coef0, coef1, coef2};
+
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < nc; c++) {
+    if (info->h[c] < 1 || info->h[c] > 4 || info->v[c] < 1 || info->v[c] > 4)
+      return BSJPEG_ERR_BADARG;
+    if (info->h[c] > hmax) hmax = info->h[c];
+    if (info->v[c] > vmax) vmax = info->v[c];
+  }
+  int mcus_x = (info->width + 8 * hmax - 1) / (8 * hmax);
+  int mcus_y = (info->height + 8 * vmax - 1) / (8 * vmax);
+  for (int c = 0; c < nc; c++) {
+    if (info->blocks_w[c] != mcus_x * info->h[c] ||
+        info->blocks_h[c] != mcus_y * info->v[c])
+      return BSJPEG_ERR_BADARG;
+  }
+
+  BitWriter bw{out, out ? cap : 0};
+  // --- headers (jcmarker.c order) ---
+  bw.put_byte(0xFF); bw.put_byte(0xD8);                 // SOI
+  bw.put_byte(0xFF); bw.put_byte(0xE0);                 // JFIF APP0
+  bw.put16(16);
+  const char jfif[5] = {'J', 'F', 'I', 'F', 0};
+  for (char ch : jfif) bw.put_byte((uint8_t)ch);
+  bw.put_byte(1); bw.put_byte(1);                       // version 1.1
+  bw.put_byte(0);                                       // density: none
+  bw.put16(1); bw.put16(1);                             // 1x1 aspect
+  bw.put_byte(0); bw.put_byte(0);                       // no thumbnail
+  emit_dqt(bw, 0, info->qtab[0]);
+  if (nc == 3) emit_dqt(bw, 1, info->qtab[1]);          // chroma (comp 1==2)
+  bw.put_byte(0xFF); bw.put_byte(0xC0);                 // SOF0
+  bw.put16((uint16_t)(2 + 6 + 3 * nc));
+  bw.put_byte(8);
+  bw.put16((uint16_t)info->height);
+  bw.put16((uint16_t)info->width);
+  bw.put_byte((uint8_t)nc);
+  for (int c = 0; c < nc; c++) {
+    bw.put_byte((uint8_t)(c + 1));
+    bw.put_byte((uint8_t)((info->h[c] << 4) | info->v[c]));
+    bw.put_byte(c == 0 ? 0 : 1);
+  }
+  emit_dht(bw, 0, 0, kDcLumBits, kDcLumVals);
+  emit_dht(bw, 1, 0, kAcLumBits, kAcLumVals);
+  if (nc == 3) {
+    emit_dht(bw, 0, 1, kDcChrBits, kDcChrVals);
+    emit_dht(bw, 1, 1, kAcChrBits, kAcChrVals);
+  }
+  bw.put_byte(0xFF); bw.put_byte(0xDA);                 // SOS
+  bw.put16((uint16_t)(2 + 1 + 2 * nc + 3));
+  bw.put_byte((uint8_t)nc);
+  for (int c = 0; c < nc; c++) {
+    bw.put_byte((uint8_t)(c + 1));
+    bw.put_byte(c == 0 ? 0x00 : 0x11);
+  }
+  bw.put_byte(0); bw.put_byte(63); bw.put_byte(0);      // Ss, Se, Ah/Al
+
+  // --- entropy: interleaved MCUs ---
+  EncTable dc[2], ac[2];
+  dc[0].build(kDcLumBits, kDcLumVals, 12);
+  ac[0].build(kAcLumBits, kAcLumVals, 162);
+  dc[1].build(kDcChrBits, kDcChrVals, 12);
+  ac[1].build(kAcChrBits, kAcChrVals, 162);
+  int32_t pred[3] = {0, 0, 0};
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      for (int c = 0; c < nc; c++) {
+        int t = c == 0 ? 0 : 1;
+        int stride = mcus_x * info->h[c];
+        for (int v = 0; v < info->v[c]; v++) {
+          for (int h = 0; h < info->h[c]; h++) {
+            int by = my * info->v[c] + v;
+            int bx = mx * info->h[c] + h;
+            encode_block(bw, coef[c] + ((int64_t)by * stride + bx) * 64,
+                         dc[t], ac[t], &pred[c]);
+          }
+        }
+      }
+    }
+  }
+  bw.flush_bits();
+  bw.put_byte(0xFF); bw.put_byte(0xD9);                 // EOI
+  return bw.n;
+}
