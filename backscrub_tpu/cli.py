@@ -46,6 +46,7 @@ usage:
 -p            Add post-processing steps
 -p bgblur:<strength>   Blur the video background
 -p refine:guided       Edge-aware guided-filter mask refinement (default: box)
+-p jpegq:<1-100>       JPEG quality for --sink-format mjpg (default 85)
 -H            Mirror the output horizontally
 -V            Mirror the output vertically
 --frames N    Process N frames then exit (0 = run forever)
@@ -55,8 +56,10 @@ usage:
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
 --staging     Route host<->device transfers through pinned-host staging
               (DMA-eligible on PCIe-attached TPUs; bit-identical output)
---sink-format yuyv|nv12|i420|bgr24   Virtual-camera pixel format (default
-              yuyv; 4:2:0 formats are device-packed, BT.601, cv2-bit-exact)
+--sink-format yuyv|nv12|i420|bgr24|mjpg   Virtual-camera pixel format
+              (default yuyv; 4:2:0 formats are device-packed, BT.601,
+              cv2-bit-exact; mjpg encodes ON DEVICE — host only Huffman-
+              packs — byte-exact vs cv2.imencode)
 --stats-json <path>  Append a JSON stats line (fps + per-stage ms) every
               120 frames and at exit, for production monitoring
 --drain-thread  Deliver results to the sink from a dedicated thread so
@@ -72,7 +75,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
                correct_colors=False, staging=False, sink_format="yuyv",
-               stats_json=None, drain_thread=False)
+               stats_json=None, drain_thread=False, jpeg_quality=85)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -135,6 +138,11 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                 if mode not in ("box", "guided"):
                     raise ValueError(f"refine mode must be box|guided, got {mode!r}")
                 cfg["mask_refine"] = mode
+            elif opt.startswith("jpegq"):
+                value = opt.split(":", 1)[1] if ":" in opt else "85"
+                if not value.isdigit() or not 1 <= int(value) <= 100:
+                    raise ValueError("jpegq value must be 1..100")
+                cfg["jpeg_quality"] = int(value)
             else:
                 raise ValueError(f"unknown post-processing option {opt!r}")
         elif a == "--frames":
@@ -151,9 +159,9 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["staging"] = True
         elif a == "--sink-format":
             fmt = val().lower()
-            if fmt not in ("yuyv", "nv12", "i420", "bgr24"):
+            if fmt not in ("yuyv", "nv12", "i420", "bgr24", "mjpg"):
                 raise ValueError(
-                    f"--sink-format must be yuyv|nv12|i420|bgr24, got {fmt!r}")
+                    f"--sink-format must be yuyv|nv12|i420|bgr24|mjpg, got {fmt!r}")
             cfg["sink_format"] = fmt
         elif a == "--stats-json":
             cfg["stats_json"] = val()
@@ -248,6 +256,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         mask_refine=cfg["mask_refine"],
         input_format=in_fmt, jpeg_info=jpeg_info,
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
+        out_jpeg_quality=cfg["jpeg_quality"],
     )
     if cfg["int8"]:
         # Measured on TPU v5e (BENCH_DETAILS.json, README "int8 verdict",
@@ -282,7 +291,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("Warning: could not load background image, defaulting to green",
               file=sys.stderr)
 
-    sink = open_sink(cfg["vcam"], vw, vh, out_format=cfg["sink_format"])
+    sink = open_sink(cfg["vcam"], vw, vh, out_format=cfg["sink_format"],
+                     jpeg_info=pipe.out_jpeg_info,
+                     jpeg_qtabs=pipe._out_jpeg_qtabs)
     timer = StageTimer()
 
     # debug window + runtime toggles (app/deepseg.cc:724-803)
@@ -291,6 +302,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     window = DebugWindow() if cfg["debug"] >= 2 else None
     if window is not None and not window.available:
         print("debug: no display available, HUD disabled", file=sys.stderr)
+    if window is not None and cfg["sink_format"] == "mjpg":
+        print("debug: HUD preview not supported with --sink-format mjpg, "
+              "HUD disabled", file=sys.stderr)
+        window = None
 
     from .runtime.serving import ServingLoop
     loop = ServingLoop(pipe, depth=3, staging=cfg["staging"],

@@ -431,6 +431,31 @@ class FileFrameSink(FrameSink):
             self._writer.release()
 
 
+class JpegPackingSink(FrameSink):
+    """MJPG sink: receives the pipeline's device-encoded coefficient
+    tuples (PipelineConfig(output_format='mjpg')), Huffman-packs them
+    (io/jpeg.py JpegHuffmanEncoder — the only host work), and hands the
+    JPEG bytes to ``write_bytes`` (a raw file appender or an MJPG
+    v4l2loopback writer; concatenated JPEGs are the standard MJPEG
+    stream format)."""
+
+    def __init__(self, jpeg_info, qtabs, write_bytes, close=None):
+        from .jpeg import JpegHuffmanEncoder
+        self._enc = JpegHuffmanEncoder(jpeg_info, qtabs)
+        self._write = write_bytes
+        self._close = close
+        self.last_jpeg: Optional[bytes] = None
+
+    def write_yuyv(self, coefs):  # pipeline output rides the generic slot
+        jpg = self._enc.encode(coefs)
+        self.last_jpeg = jpg
+        self._write(jpg)
+
+    def close(self):
+        if self._close:
+            self._close()
+
+
 class NullFrameSink(FrameSink):
     def __init__(self):
         self.frames = 0
@@ -443,9 +468,24 @@ class NullFrameSink(FrameSink):
 
 
 def open_sink(uri: str, width: int, height: int, fps: float = 30.0,
-              out_format: str = "yuyv") -> FrameSink:
+              out_format: str = "yuyv", jpeg_info=None, jpeg_qtabs=None) -> FrameSink:
     if uri.startswith("null:"):
         return NullFrameSink()
+    if out_format == "mjpg":
+        # device-encoded JPEG output: pack + deliver bytes
+        if jpeg_info is None or jpeg_qtabs is None:
+            raise ValueError("mjpg sink needs jpeg_info/jpeg_qtabs "
+                             "(FramePipeline.out_jpeg_info/_out_jpeg_qtabs)")
+        if uri.startswith("/dev/"):
+            from .v4l2 import LoopbackSink
+            lb = LoopbackSink(uri, width, height, pixel_format="MJPG")
+            return JpegPackingSink(jpeg_info, jpeg_qtabs,
+                                   lb.write_bytes, lb.close)
+        if uri.startswith("file:"):
+            uri = uri[5:]
+        f = open(uri, "wb")
+        return JpegPackingSink(jpeg_info, jpeg_qtabs,
+                               lambda b: f.write(b), f.close)
     if uri.startswith("/dev/"):
         return LoopbackFrameSink(uri, width, height, out_format=out_format)
     if uri.startswith("file:"):

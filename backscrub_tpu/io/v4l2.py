@@ -86,20 +86,23 @@ def fourcc(code: str) -> int:
 
 
 # bytes per pixel numerator/denominator per supported output format
+# (MJPG is compressed: framesize is a per-frame maximum, not fixed)
 _FORMAT_BYTES = {"YUYV": (2, 1), "NV12": (3, 2), "YU12": (3, 2),
-                 "BGR3": (3, 1), "RGB3": (3, 1)}
+                 "BGR3": (3, 1), "RGB3": (3, 1), "MJPG": (2, 1)}
 
 
 class LoopbackSink:
     """v4l2loopback writer: loopback_init/free + framed write()s.
 
     ``pixel_format``: 'YUYV' (default, 4:2:2), 'NV12' or 'YU12' (I420,
-    both 4:2:0, 1.5 bytes/px)."""
+    both 4:2:0, 1.5 bytes/px), 'BGR3'/'RGB3' (raw 24-bit), or 'MJPG'
+    (compressed; variable-length frames via :meth:`write_bytes`)."""
 
     def __init__(self, device: str, width: int, height: int,
                  pixel_format: str = "YUYV"):
         self.lib = load_bsio()
         self.width, self.height = width, height
+        self.compressed = pixel_format.upper() == "MJPG"
         try:
             num, den = _FORMAT_BYTES[pixel_format.upper()]
         except KeyError:
@@ -114,8 +117,19 @@ class LoopbackSink:
 
     def write(self, yuyv: np.ndarray) -> None:
         buf = np.ascontiguousarray(yuyv, dtype=np.uint8)
-        if buf.nbytes != self.framesize:
+        if not self.compressed and buf.nbytes != self.framesize:
             raise ValueError(f"frame is {buf.nbytes} bytes, expected {self.framesize}")
+        rc = self.lib.bsio_loopback_write(self.fd, buf.ctypes.data, buf.nbytes)
+        if rc < 0:
+            raise OSError(-rc, f"loopback write failed: {os.strerror(-rc)}")
+
+    def write_bytes(self, data: bytes) -> None:
+        """Variable-length frame write (compressed formats, e.g. MJPG;
+        sizeimage set at init is the per-frame maximum)."""
+        if len(data) > self.framesize:
+            raise ValueError(f"frame is {len(data)} bytes > sizeimage "
+                             f"{self.framesize}")
+        buf = np.frombuffer(data, np.uint8)
         rc = self.lib.bsio_loopback_write(self.fd, buf.ctypes.data, buf.nbytes)
         if rc < 0:
             raise OSError(-rc, f"loopback write failed: {os.strerror(-rc)}")

@@ -46,6 +46,11 @@ class PipelineConfig:
                                      # "nv12" (Y + interleaved UV rows,
                                      # (3H/2, W)) | "i420" (planar flat
                                      # bytes) — BT.601 4:2:0, cv2-bit-exact
+                                     # | "mjpg": device-side JPEG encode
+                                     # (coefficients out; host packs
+                                     # Huffman — io/streams.py JpegPackingSink)
+    out_jpeg_quality: int = 85       # output_format="mjpg": libjpeg quality
+    out_jpeg_sampling: str = "420"   # and chroma sampling (420|422|444)
     input_format: str = "bgr"        # "bgr" | "yuyv" | "nv12": raw-camera
                                      # device ingest (decode on device, less
                                      # host->device traffic; BASELINE "frame
@@ -100,6 +105,19 @@ class FramePipeline:
                 raise ValueError(
                     f"MJPG stream is {info.width}x{info.height} but capture "
                     f"geometry is {config.width}x{config.height}")
+        self.out_jpeg_info = None
+        self._out_jpeg_qtabs = None
+        if config.output_format == "mjpg":
+            from ..io.jpeg import make_info
+            from .jpeg_enc import quality_to_qtabs
+            sf = {"420": ((2, 2), (1, 1), (1, 1)),
+                  "422": ((2, 1), (1, 1), (1, 1)),
+                  "444": ((1, 1), (1, 1), (1, 1))}[config.out_jpeg_sampling]
+            ow_ = config.out_width or config.width
+            oh_ = config.out_height or config.height
+            self.out_jpeg_info = make_info(ow_, oh_, sf)
+            qt = quality_to_qtabs(config.out_jpeg_quality)
+            self._out_jpeg_qtabs = np.stack([qt[0], qt[1], qt[1]])
         self.cfg = config
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,
@@ -149,6 +167,14 @@ class FramePipeline:
                     0, 255).astype(jnp.uint8)
             if cfg.output_format == "bgr":
                 return comp, mask, new_ema
+            if cfg.output_format == "mjpg":
+                # device-side JPEG encode: quantized coefficients out; the
+                # host only Huffman-packs them (pipeline/jpeg_enc.py)
+                from .jpeg_enc import encode_jpeg_coefs
+                coefs = encode_jpeg_coefs(
+                    comp, jnp.asarray(self._out_jpeg_qtabs),
+                    self.out_jpeg_info)
+                return tuple(coefs), mask, new_ema
             if cfg.output_format == "nv12":
                 return bgr_to_nv12(comp), mask, new_ema
             if cfg.output_format == "i420":

@@ -75,7 +75,7 @@ class ServingLoop:
                         self._q.task_done()
                         return
                     try:
-                        sink(np.asarray(item))
+                        sink(self._materialize(item))
                     except BaseException as e:  # surface on the submit side
                         self._sink_error = e
                     finally:
@@ -89,9 +89,17 @@ class ServingLoop:
             e, self._sink_error = self._sink_error, None
             raise e
 
+    @staticmethod
+    def _materialize(out):
+        """Device result -> host: ndarray, or a pytree of them (mjpg
+        coefficient outputs are tuples)."""
+        if isinstance(out, (tuple, list)):
+            return jax.tree_util.tree_map(np.asarray, out)
+        return np.asarray(out)
+
     def _drain_one(self, sink: Callable[[np.ndarray], None]):
         out = self._ring.popleft()
-        sink(np.asarray(out))
+        sink(self._materialize(out))
 
     def submit(self, frame, background=None, **step_kwargs):
         """Dispatch one frame; starts its async D2H immediately."""
@@ -107,12 +115,16 @@ class ServingLoop:
                 background = self.staging.upload(background)
         out, _mask = self.pipe.step(frame, background, **step_kwargs)
         if self.staging is not None:
-            out = self.staging.to_pinned(out)
+            if isinstance(out, (tuple, list)):
+                out = jax.tree_util.tree_map(self.staging.to_pinned, out)
+            else:
+                out = self.staging.to_pinned(out)
         else:
-            try:
-                out.copy_to_host_async()
-            except Exception:
-                pass  # platforms without async copy: np.asarray later blocks
+            for leaf in jax.tree_util.tree_leaves(out):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass  # platforms without async copy: asarray later blocks
         self._ring.append(out)
 
     def ready(self) -> bool:

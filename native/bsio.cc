@@ -66,6 +66,12 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
       bytesperline = width * 3;
       sizeimage = width * height * 3;
       break;
+    case V4L2_PIX_FMT_MJPEG:
+      // compressed: sizeimage is the per-frame maximum; JFIF is full-range
+      bytesperline = 0;
+      sizeimage = width * height * 2;
+      colorspace = V4L2_COLORSPACE_JPEG;
+      break;
     default:
       close(fd);
       return -EINVAL;

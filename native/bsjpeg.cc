@@ -700,32 +700,43 @@ inline int bit_width(int v) {  // category of |v| (v >= 0)
 
 void encode_block(BitWriter& bw, const int16_t* blk /*natural order*/,
                   const EncTable& dc, const EncTable& ac, int32_t* pred) {
-  // DC: category + extend bits of the diff (T.81 F.1.2.1)
+  // DC: category + extend bits of the diff (T.81 F.1.2.1), one emission
   int32_t diff = blk[0] - *pred;
   *pred = blk[0];
   int32_t t = diff < 0 ? -diff : diff;
   int nbits = bit_width(t);
-  bw.put_bits(dc.code[nbits], dc.len[nbits]);
-  if (nbits) bw.put_bits((uint32_t)(diff < 0 ? diff - 1 : diff), nbits);
-  // AC: run/size with ZRL + EOB (T.81 F.1.2.2), zigzag scan order
-  int run = 0;
+  bw.put_bits(((uint32_t)dc.code[nbits] << nbits) |
+                  ((uint32_t)(diff < 0 ? diff - 1 : diff) & ((1u << nbits) - 1)),
+              dc.len[nbits] + nbits);
+  // AC (T.81 F.1.2.2): gather to zigzag order + nonzero bitmap in one
+  // predictable pass, then only touch the set bits (jchuff.c's zerobits
+  // trick) — typical blocks have ~5-15 nonzero ACs out of 63.
+  int16_t zz[64];
+  uint64_t zb = 0;
   for (int k = 1; k < 64; k++) {
-    int32_t v = blk[kZigzag[k]];
-    if (v == 0) {
-      run++;
-      continue;
-    }
+    int16_t v = blk[kZigzag[k]];
+    zz[k] = v;
+    zb |= (uint64_t)(v != 0) << k;
+  }
+  int prev = 0;
+  while (zb) {
+    int k = __builtin_ctzll(zb);
+    zb &= zb - 1;
+    int run = k - prev - 1;
+    prev = k;
     while (run > 15) {
       bw.put_bits(ac.code[0xF0], ac.len[0xF0]);  // ZRL
       run -= 16;
     }
+    int32_t v = zz[k];
     int32_t a = v < 0 ? -v : v;
     int s = bit_width(a);
-    bw.put_bits(ac.code[(run << 4) | s], ac.len[(run << 4) | s]);
-    bw.put_bits((uint32_t)(v < 0 ? v - 1 : v), s);
-    run = 0;
+    int sym = (run << 4) | s;
+    bw.put_bits(((uint32_t)ac.code[sym] << s) |
+                    ((uint32_t)(v < 0 ? v - 1 : v) & ((1u << s) - 1)),
+                ac.len[sym] + s);
   }
-  if (run) bw.put_bits(ac.code[0x00], ac.len[0x00]);  // EOB
+  if (prev != 63) bw.put_bits(ac.code[0x00], ac.len[0x00]);  // EOB
 }
 
 void emit_dqt(BitWriter& bw, int id, const uint16_t* qtab_natural) {

@@ -113,3 +113,43 @@ def test_fidelity_at_high_quality():
     mse = np.mean((got.astype(np.float64) - img.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert psnr > 37, psnr  # q95 on smoothed noise (high-entropy content)
+
+
+def test_frame_pipeline_mjpg_output_matches_cv2_encode_of_bgr_output():
+    """output_format='mjpg' (device encode fused into the frame program)
+    must emit bytes identical to cv2.imencode of the bgr-output pipeline's
+    composited frame, end to end through ServingLoop + JpegPackingSink."""
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    from backscrub_tpu.runtime.serving import ServingLoop
+    from backscrub_tpu.io.streams import JpegPackingSink
+
+    path = model_path("segm_lite_v681.tflite")
+    rng = np.random.default_rng(31)
+    w, h = 160, 96
+    frames = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(3)]
+    bg = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    pipe_bgr = FramePipeline(path, PipelineConfig(
+        width=w, height=h, use_bilateral=False, output_format="bgr"))
+    pipe_mjpg = FramePipeline(path, PipelineConfig(
+        width=w, height=h, use_bilateral=False, output_format="mjpg",
+        out_jpeg_quality=90))
+    assert pipe_mjpg.out_jpeg_info is not None
+
+    jpgs = []
+    sink = JpegPackingSink(pipe_mjpg.out_jpeg_info, pipe_mjpg._out_jpeg_qtabs,
+                           jpgs.append)
+    loop = ServingLoop(pipe_mjpg, depth=2)
+    it = iter(frames)
+    n = loop.run(lambda: next(it, None), sink.write_yuyv,
+                 background=lambda: bg)
+    assert n == 3 and len(jpgs) == 3
+
+    sf = cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420
+    for i, f in enumerate(frames):
+        comp, _ = pipe_bgr.step(f, bg)
+        ok, ref = cv2.imencode(".jpg", np.asarray(comp),
+                               [cv2.IMWRITE_JPEG_QUALITY, 90,
+                                cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sf])
+        assert jpgs[i] == ref.tobytes()
