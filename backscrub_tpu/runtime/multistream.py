@@ -219,19 +219,24 @@ class MultiStreamServer:
 
     # -- async result ring --------------------------------------------------
     def _submit(self, out, deliver: List[bool]):
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
         self._ring.append((out, deliver))
 
     def _drain(self, force: bool = False):
         while self._ring and (force or len(self._ring) > self.depth):
             out, deliver = self._ring.popleft()
-            out_np = np.asarray(out)
+            # mjpg-output pipelines return coefficient pytrees; each leaf
+            # is stream-batched on axis 0
+            tree = jax.tree_util.tree_map(np.asarray, out)
+            is_tree = isinstance(tree, (tuple, list))
             for s, sink in enumerate(self.sinks):
                 if deliver[s]:
-                    sink(out_np[s])
+                    sink(jax.tree_util.tree_map(lambda a: a[s], tree)
+                         if is_tree else tree[s])
 
     def start(self):
         """Spawn reader threads (threaded mode); idempotent."""

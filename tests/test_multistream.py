@@ -430,3 +430,42 @@ def test_multigeometry_server_mixed_bgr_and_mjpg(rng):
         np.testing.assert_array_equal(out_bgr[i], np.asarray(o))
         o, _ = solo_mjpg.step(mjpg_frames[i])
         np.testing.assert_array_equal(out_mjpg[i], np.asarray(o))
+
+
+@needs_8
+def test_multistream_server_mjpg_output(rng):
+    """output_format='mjpg': the batched program emits coefficient pytrees;
+    per-stream Huffman packs are byte-identical to solo-run encodes."""
+    import cv2
+    from backscrub_tpu.io.streams import JpegPackingSink
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+    from backscrub_tpu.runtime.serving import ServingLoop
+
+    path = model_path("segm_lite_v681.tflite")
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    w, h = 64, 48
+    cfg = PipelineConfig(width=w, height=h, use_bilateral=False,
+                         output_format="mjpg", out_jpeg_quality=90)
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    frames = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(S)]
+
+    jpgs = [[] for _ in range(S)]
+    sinks = [JpegPackingSink(ms.pipe.out_jpeg_info, ms.pipe._out_jpeg_qtabs,
+                             jpgs[s].append).write_yuyv for s in range(S)]
+    iters = [iter([f] * 2) for f in frames]
+    server = MultiStreamServer(ms, [lambda it=it: next(it, None) for it in iters],
+                               sinks)
+    assert server.run() == 2
+    assert all(len(j) == 2 for j in jpgs)
+
+    solo = FramePipeline(path, cfg)
+    solo_sink = []
+    pk = JpegPackingSink(solo.out_jpeg_info, solo._out_jpeg_qtabs,
+                         solo_sink.append)
+    out, _ = solo.step(frames[3])
+    pk.write_yuyv([np.asarray(c) for c in out])
+    assert jpgs[3][0] == solo_sink[0]
+    # and the emitted stream is a valid JPEG of the right geometry
+    img = cv2.imdecode(np.frombuffer(jpgs[3][0], np.uint8), cv2.IMREAD_COLOR)
+    assert img is not None and img.shape == (h, w, 3)
