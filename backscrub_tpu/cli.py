@@ -240,7 +240,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # MJPG cameras upload entropy-decoded coefficients; IDCT/upsample/color
     # run on device (pipeline/jpeg.py), leaving only Huffman on the host.
     raw_fmt = getattr(source, "raw_format", None)
-    raw_ingest = raw_fmt in ("yuyv", "nv12")
+    raw_ingest = raw_fmt in ("yuyv", "uyvy", "nv12")
     jpeg_info = getattr(source, "jpeg_info", None)
     if jpeg_info is not None:
         in_fmt = "mjpg"

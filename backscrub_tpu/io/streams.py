@@ -213,7 +213,8 @@ class CameraSource(FrameSource):
         ingest raw (PipelineConfig.input_format); None otherwise."""
         if not self._native:
             return None
-        return {"YUYV": "yuyv", "NV12": "nv12"}.get(self.cap.pixelformat)
+        return {"YUYV": "yuyv", "UYVY": "uyvy",
+                "NV12": "nv12"}.get(self.cap.pixelformat)
 
     def _read_sync(self):
         if self._native:

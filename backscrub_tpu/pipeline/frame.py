@@ -89,9 +89,9 @@ class FramePipeline:
                     raise ValueError(
                         f"{label} geometry {a}x{b}: 4:2:0 output "
                         f"({config.output_format}) needs even width and height")
-        if config.input_format == "yuyv" and config.width % 2:
+        if config.input_format in ("yuyv", "uyvy") and config.width % 2:
             raise ValueError(
-                f"width={config.width}: YUYV ingest needs an even width")
+                f"width={config.width}: 4:2:2 ingest needs an even width")
         if config.input_format == "nv12" and (config.width % 2 or config.height % 2):
             raise ValueError(
                 f"capture geometry {config.width}x{config.height}: 4:2:0 "
@@ -187,11 +187,12 @@ class FramePipeline:
             return yuyv, mask, new_ema
 
         def compose(params, frame, bg, ema):
-            if cfg.input_format == "yuyv":
+            if cfg.input_format in ("yuyv", "uyvy"):
                 # raw camera bytes (H, 2W) u8 -> BGR on device (the host
                 # uploads the kernel buffer verbatim; decode rides the VPU)
                 yuyv = frame.reshape(frame.shape[:-1] + (frame.shape[-1] // 2, 2))
-                frame = yuyv_to_rgb_u8(yuyv)[..., ::-1]  # RGB -> BGR order
+                frame = yuyv_to_rgb_u8(yuyv,
+                                       layout=cfg.input_format)[..., ::-1]
             elif cfg.input_format == "nv12":
                 # raw 4:2:0 camera bytes (3H/2, W) u8 -> BGR on device
                 frame = nv12_to_bgr_u8(frame)

@@ -369,18 +369,23 @@ _BT601_CVG, _BT601_CVR, _BT601_SHIFT = -852492, 1673527, 20
 
 
 def yuyv_to_rgb_u8(yuyv_u8, chroma_order: str = "yuy2",
-                   convention: str = "bt601"):
+                   convention: str = "bt601", layout: str = "yuyv"):
     """Packed 4:2:2 -> RGB u8 (capture-side decode).
 
     convention="bt601" (default): ITU-R BT.601 video range, bit-exact with
     cv::COLOR_YUV2RGB_YUY2 — what real V4L2 cameras emit.
     convention="analog": exact inverse of the 0.492/0.877 analog-YUV forward
     used by cv::COLOR_RGB2YUV (the rgb_to_yuyv output path), for roundtrips.
+    layout="uyvy": chroma-leading byte order (cv::COLOR_YUV2RGB_UYVY),
+    the other common V4L2 4:2:2 format.
     """
     q = yuyv_u8.astype(jnp.int32)
     h, w2 = q.shape[-3], q.shape[-2]
     quad = q.reshape(q.shape[:-3] + (h, w2 // 2, 4))
-    y0, c0, y1, c1 = quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
+    if layout == "uyvy":
+        c0, y0, c1, y1 = quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
+    else:
+        y0, c0, y1, c1 = quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
     if chroma_order == "reference":
         v, u = c0, c1
     else:

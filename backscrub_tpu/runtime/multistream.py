@@ -136,7 +136,7 @@ class MultiStreamServer:
                       for bh, bw in info.blocks),
                 np.zeros((ms.n_streams, info.ncomp, 64), np.uint16))
         else:
-            if cfg.input_format == "yuyv":
+            if cfg.input_format in ("yuyv", "uyvy"):
                 self._shape = (cfg.height, 2 * cfg.width)
             elif cfg.input_format == "nv12":
                 self._shape = (cfg.height * 3 // 2, cfg.width)

@@ -241,3 +241,32 @@ def test_pipeline_nv12_output(rng):
     uv = got[48:].reshape(24, 32, 2)
     np.testing.assert_array_equal(uv[..., 0], u)
     np.testing.assert_array_equal(uv[..., 1], v)
+
+
+def test_uyvy_decode_bt601_bit_exact(rng):
+    """Camera-side UYVY decode matches cv2.COLOR_YUV2RGB_UYVY bit-exactly
+    (the other common V4L2 4:2:2 layout; device ingest like YUYV)."""
+    uyvy = rng.integers(0, 256, (32, 64, 2), np.uint8)
+    ref = cv2.cvtColor(uyvy, cv2.COLOR_YUV2RGB_UYVY)
+    ours = np.asarray(im.yuyv_to_rgb_u8(jnp.asarray(uyvy), layout="uyvy"))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_uyvy_pipeline_ingest_matches_bgr(rng):
+    """input_format='uyvy' produces the same output as the bgr path fed
+    with the cv2-decoded frame."""
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+    path = model_path("segm_lite_v681.tflite")
+    w, h = 64, 48
+    uyvy = rng.integers(0, 256, (h, w, 2), np.uint8)
+    bgr = cv2.cvtColor(uyvy, cv2.COLOR_YUV2BGR_UYVY)
+    bg = rng.integers(0, 256, (h, w, 3), np.uint8)
+    p1 = FramePipeline(path, PipelineConfig(width=w, height=h,
+                                            use_bilateral=False))
+    p2 = FramePipeline(path, PipelineConfig(width=w, height=h,
+                                            use_bilateral=False,
+                                            input_format="uyvy"))
+    o1, _ = p1.step(bgr, bg)
+    o2, _ = p2.step(uyvy.reshape(h, 2 * w), bg)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o1))
