@@ -191,12 +191,28 @@ class JpegEntropyDecoder:
 def _encode_argtypes(lib):
     if getattr(lib, "_enc_typed", False):
         return
-    lib.bsjpeg_encode.argtypes = [ctypes.POINTER(_BsjpegInfo),
-                                  ctypes.c_void_p, ctypes.c_void_p,
-                                  ctypes.c_void_p, ctypes.c_void_p,
-                                  ctypes.c_int64]
+    sig = [ctypes.POINTER(_BsjpegInfo),
+           ctypes.c_void_p, ctypes.c_void_p,
+           ctypes.c_void_p, ctypes.c_void_p,
+           ctypes.c_int64]
+    lib.bsjpeg_encode.argtypes = sig
     lib.bsjpeg_encode.restype = ctypes.c_int64
+    try:  # zigzag-layout fast path (absent in pre-r2 builds of libbsjpeg)
+        lib.bsjpeg_encode_zz.argtypes = sig
+        lib.bsjpeg_encode_zz.restype = ctypes.c_int64
+    except AttributeError:
+        pass
     lib._enc_typed = True
+
+
+# zigzag index -> natural index (ITU T.81 Figure A.6); used to fall back
+# from zigzag-layout coefficients when libbsjpeg lacks bsjpeg_encode_zz
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
 
 
 def make_info(width: int, height: int, sampling=((2, 2), (1, 1), (1, 1)),
@@ -221,11 +237,22 @@ class JpegHuffmanEncoder:
     bit-exact device coefficients the emitted bytes match cv2.imencode
     (libjpeg-turbo defaults, optimize=off).  The output buffer grows on
     demand and is reused across frames.
+
+    ``coef_order``: "zigzag" (default — pipeline/jpeg_enc.py's layout; the
+    device applies the permutation for free and the host packer skips the
+    per-block reorder) or "natural" (bsjpeg_decode's layout, e.g. for
+    transcoding a decoded stream).
     """
 
-    def __init__(self, info: JpegInfo, qtabs: np.ndarray):
+    def __init__(self, info: JpegInfo, qtabs: np.ndarray,
+                 coef_order: str = "zigzag"):
+        if coef_order not in ("zigzag", "natural"):
+            raise ValueError(f"coef_order must be zigzag|natural, "
+                             f"got {coef_order!r}")
         self.lib = load_bsjpeg()
         _encode_argtypes(self.lib)
+        self._zz = coef_order == "zigzag"
+        self._have_zz = hasattr(self.lib, "bsjpeg_encode_zz")
         self.info = info
         self._ci = _BsjpegInfo()
         self._ci.width = info.width
@@ -248,15 +275,25 @@ class JpegHuffmanEncoder:
             if a.shape != (bh, bw, 64):
                 raise ValueError(f"component {c}: coefficient shape "
                                  f"{a.shape} != {(bh, bw, 64)}")
+        if self._zz and not self._have_zz:
+            # stale libbsjpeg without the zigzag entry: un-permute on host
+            arrs = [np.ascontiguousarray(_zz_to_natural(a)) for a in arrs]
+        fn = (self.lib.bsjpeg_encode_zz if self._zz and self._have_zz
+              else self.lib.bsjpeg_encode)
         ptrs = [a.ctypes.data for a in arrs] + [None, None]
-        n = self.lib.bsjpeg_encode(ctypes.byref(self._ci), ptrs[0], ptrs[1],
-                                   ptrs[2], self._buf.ctypes.data,
-                                   self._buf.nbytes)
+        n = fn(ctypes.byref(self._ci), ptrs[0], ptrs[1],
+               ptrs[2], self._buf.ctypes.data, self._buf.nbytes)
         if n < 0:
             _raise(int(n), "encode")
         if n > self._buf.nbytes:  # grew past the buffer: retry exact-size
             self._buf = np.empty(int(n), np.uint8)
-            n = self.lib.bsjpeg_encode(ctypes.byref(self._ci), ptrs[0],
-                                       ptrs[1], ptrs[2],
-                                       self._buf.ctypes.data, self._buf.nbytes)
+            n = fn(ctypes.byref(self._ci), ptrs[0], ptrs[1], ptrs[2],
+                   self._buf.ctypes.data, self._buf.nbytes)
         return self._buf[:int(n)].tobytes()
+
+
+def _zz_to_natural(zz: np.ndarray) -> np.ndarray:
+    """(..., 64) zigzag-order blocks -> natural order."""
+    nat = np.empty_like(zz)
+    nat[..., ZIGZAG] = zz
+    return nat

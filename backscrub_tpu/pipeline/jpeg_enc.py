@@ -23,8 +23,10 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.jpeg import JpegInfo
+from ..io.jpeg import JpegInfo, ZIGZAG
 from .jpeg import _butterfly8  # shared 8-point islow butterfly (decode)
+
+_ZIGZAG = np.asarray(ZIGZAG)  # static gather indices (zigzag k -> natural)
 
 # jccolor.c build_rgb_ycc_table constants (SCALEBITS=16)
 _FIX_0_29900 = 19595
@@ -160,12 +162,18 @@ def quantize(coef: jnp.ndarray, qtab: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode_jpeg_coefs(bgr: jnp.ndarray, qtabs: jnp.ndarray,
-                      info: JpegInfo) -> List[jnp.ndarray]:
+                      info: JpegInfo,
+                      order: str = "zigzag") -> List[jnp.ndarray]:
     """Full device encode: (..., H, W, 3) BGR u8 -> per-component
     (..., bh, bw, 64) int16 quantized coefficients matching ``info``
     (geometry + sampling static; ``qtabs`` (..., ncomp, 64) runtime).
 
-    The host packs these into a JPEG stream with bsjpeg_encode
+    ``order``: "zigzag" (default) emits each block pre-permuted into the
+    entropy coder's zigzag order — a static gather XLA fuses into the
+    encode program for free, saving the host packer a 63-element reorder
+    per block (bsjpeg_encode_zz); "natural" keeps bsjpeg_decode's layout.
+
+    The host packs these into a JPEG stream with bsjpeg_encode[_zz]
     (io/jpeg.py JpegHuffmanEncoder); with the standard Annex K tables the
     bytes match cv2.imencode's libjpeg-turbo output for the same pixels.
     """
@@ -197,7 +205,12 @@ def encode_jpeg_coefs(bgr: jnp.ndarray, qtabs: jnp.ndarray,
         p = _expand_to(p, bh * 8, bw * 8)
         blocks = plane_to_blocks(p - 128)  # convsamp level shift
         coef = quantize(fdct_islow(blocks), qtabs[..., c, :])
-        out.append(_dummy_blocks(coef, info, c, hmax, vmax))
+        coef = _dummy_blocks(coef, info, c, hmax, vmax)
+        if order == "zigzag":
+            coef = coef[..., _ZIGZAG]
+        elif order != "natural":
+            raise ValueError(f"order must be zigzag|natural, got {order!r}")
+        out.append(coef)
     return out
 
 

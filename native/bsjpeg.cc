@@ -24,6 +24,9 @@
 
 #include <cstdint>
 #include <cstring>
+#if defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
+#include <emmintrin.h>
+#endif
 
 #define BSJPEG_API extern "C" __attribute__((visibility("default")))
 
@@ -637,7 +640,10 @@ BSJPEG_API int bsjpeg_decode(const uint8_t* data, int64_t len,
 namespace {
 
 struct BitWriter {
-  uint8_t* out;
+  // __restrict__: u8 stores otherwise alias the writer's own fields and
+  // the coefficient data, forcing acc/bits/n reloads around every byte —
+  // measured ~2x on the 720p pack.
+  uint8_t* __restrict__ out;
   int64_t cap;
   int64_t n = 0;
   uint64_t acc = 0;
@@ -651,18 +657,38 @@ struct BitWriter {
     put_byte((uint8_t)(v >> 8));
     put_byte((uint8_t)v);
   }
-  void put_bits(uint32_t code, int len) {
+  // Per put_bits call len <= 27 (16-bit Huffman code + <=11 extend bits)
+  // and the flush below keeps bits < 32, so acc never overflows 64 bits.
+  inline void put_bits(uint32_t code, int len) {
     if (!len) return;
     acc = (acc << len) | (code & ((1u << len) - 1));
     bits += len;
-    while (bits >= 8) {
-      uint8_t b = (uint8_t)(acc >> (bits - 8));
-      put_byte(b);
-      if (b == 0xFF) put_byte(0x00);  // stuffing
-      bits -= 8;
+    if (bits >= 32) {
+      uint32_t w = (uint32_t)(acc >> (bits - 32));
+      bits -= 32;
+      // fast path: no 0xFF byte anywhere in the word -> no stuffing, one
+      // big-endian store (SWAR zero-byte test on w ^ 0xFF...FF)
+      uint32_t v = w ^ 0xFFFFFFFFu;
+      if (((v - 0x01010101u) & ~v & 0x80808080u) == 0 && n + 4 <= cap) {
+        uint32_t be = __builtin_bswap32(w);
+        std::memcpy(out + n, &be, 4);
+        n += 4;
+      } else {
+        for (int s = 24; s >= 0; s -= 8) {
+          uint8_t b = (uint8_t)(w >> s);
+          put_byte(b);
+          if (b == 0xFF) put_byte(0x00);  // stuffing
+        }
+      }
     }
   }
   void flush_bits() {  // pad the last byte with 1-bits (T.81 F.1.2.3)
+    while (bits >= 8) {
+      uint8_t b = (uint8_t)(acc >> (bits - 8));
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);
+      bits -= 8;
+    }
     if (bits) {
       uint8_t b = (uint8_t)((acc << (8 - bits)) | ((1u << (8 - bits)) - 1));
       put_byte(b);
@@ -698,26 +724,43 @@ inline int bit_width(int v) {  // category of |v| (v >= 0)
   return n;
 }
 
-void encode_block(BitWriter& bw, const int16_t* blk /*natural order*/,
-                  const EncTable& dc, const EncTable& ac, int32_t* pred) {
+// Bit k set <=> blk[k] != 0, for 64 int16 (jchuff.c's zerobits trick,
+// vectorized: compare-to-zero + pack + movemask, 4x16 lanes).
+inline uint64_t nonzero_bitmap64(const int16_t* blk) {
+#if defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
+  const __m128i zero = _mm_setzero_si128();
+  uint64_t zb = 0;
+  for (int i = 0; i < 64; i += 16) {
+    __m128i a = _mm_loadu_si128((const __m128i*)(blk + i));
+    __m128i b = _mm_loadu_si128((const __m128i*)(blk + i + 8));
+    __m128i pk = _mm_packs_epi16(_mm_cmpeq_epi16(a, zero),
+                                 _mm_cmpeq_epi16(b, zero));
+    uint32_t m = (uint32_t)_mm_movemask_epi8(pk);  // 16 bits, 1 = zero lane
+    zb |= (uint64_t)(~m & 0xFFFFu) << i;
+  }
+  return zb;
+#else
+  uint64_t zb = 0;
+  for (int k = 0; k < 64; k++) zb |= (uint64_t)(blk[k] != 0) << k;
+  return zb;
+#endif
+}
+
+// `zz` is the block in ZIGZAG order (zz[k] = natural[kZigzag[k]]).
+void encode_block(BitWriter& bw, const int16_t* zz, const EncTable& dc,
+                  const EncTable& ac, int32_t* pred) {
   // DC: category + extend bits of the diff (T.81 F.1.2.1), one emission
-  int32_t diff = blk[0] - *pred;
-  *pred = blk[0];
+  // (zigzag and natural order agree on index 0)
+  int32_t diff = zz[0] - *pred;
+  *pred = zz[0];
   int32_t t = diff < 0 ? -diff : diff;
   int nbits = bit_width(t);
   bw.put_bits(((uint32_t)dc.code[nbits] << nbits) |
                   ((uint32_t)(diff < 0 ? diff - 1 : diff) & ((1u << nbits) - 1)),
               dc.len[nbits] + nbits);
-  // AC (T.81 F.1.2.2): gather to zigzag order + nonzero bitmap in one
-  // predictable pass, then only touch the set bits (jchuff.c's zerobits
-  // trick) — typical blocks have ~5-15 nonzero ACs out of 63.
-  int16_t zz[64];
-  uint64_t zb = 0;
-  for (int k = 1; k < 64; k++) {
-    int16_t v = blk[kZigzag[k]];
-    zz[k] = v;
-    zb |= (uint64_t)(v != 0) << k;
-  }
+  // AC (T.81 F.1.2.2): nonzero bitmap, then only touch the set bits —
+  // typical blocks have ~5-15 nonzero ACs out of 63.
+  uint64_t zb = nonzero_bitmap64(zz) & ~1ull;
   int prev = 0;
   while (zb) {
     int k = __builtin_ctzll(zb);
@@ -762,17 +805,12 @@ void emit_dht(BitWriter& bw, int cls, int id, const uint8_t bits[17],
   for (int i = 0; i < total; i++) bw.put_byte(vals[i]);
 }
 
-}  // namespace
-
-// Pack quantized coefficients into a complete baseline JPEG.  `coef[c]`
-// layout matches bsjpeg_decode's output: (blocks_h, blocks_w, 64) int16,
-// natural order.  Returns the stream length in bytes (callers pass a
-// buffer of at least that; probe with out=null/cap=0), or a negative
-// error code.
-BSJPEG_API int64_t bsjpeg_encode(const bsjpeg_info_t* info,
-                                 const int16_t* coef0, const int16_t* coef1,
-                                 const int16_t* coef2, uint8_t* out,
-                                 int64_t cap) {
+// `zz_order`: true = blocks already in zigzag order (the device emits this
+// layout, pipeline/jpeg_enc.py order="zigzag" — no per-block gather here);
+// false = natural order (bsjpeg_decode's layout), gathered per block.
+static int64_t encode_impl(const bsjpeg_info_t* info, const int16_t* coef0,
+                           const int16_t* coef1, const int16_t* coef2,
+                           uint8_t* out, int64_t cap, bool zz_order) {
   if (!info || !coef0) return BSJPEG_ERR_BADARG;
   int nc = info->ncomp;
   if (nc != 1 && nc != 3) return BSJPEG_ERR_BADARG;
@@ -852,8 +890,14 @@ BSJPEG_API int64_t bsjpeg_encode(const bsjpeg_info_t* info,
           for (int h = 0; h < info->h[c]; h++) {
             int by = my * info->v[c] + v;
             int bx = mx * info->h[c] + h;
-            encode_block(bw, coef[c] + ((int64_t)by * stride + bx) * 64,
-                         dc[t], ac[t], &pred[c]);
+            const int16_t* blk = coef[c] + ((int64_t)by * stride + bx) * 64;
+            if (zz_order) {
+              encode_block(bw, blk, dc[t], ac[t], &pred[c]);
+            } else {
+              int16_t zz[64];
+              for (int k = 0; k < 64; k++) zz[k] = blk[kZigzag[k]];
+              encode_block(bw, zz, dc[t], ac[t], &pred[c]);
+            }
           }
         }
       }
@@ -862,4 +906,29 @@ BSJPEG_API int64_t bsjpeg_encode(const bsjpeg_info_t* info,
   bw.flush_bits();
   bw.put_byte(0xFF); bw.put_byte(0xD9);                 // EOI
   return bw.n;
+}
+
+}  // namespace
+
+// Pack quantized coefficients into a complete baseline JPEG.  `coef[c]`
+// layout matches bsjpeg_decode's output: (blocks_h, blocks_w, 64) int16,
+// NATURAL order.  Returns the stream length in bytes (callers pass a
+// buffer of at least that; probe with out=null/cap=0), or a negative
+// error code.
+BSJPEG_API int64_t bsjpeg_encode(const bsjpeg_info_t* info,
+                                 const int16_t* coef0, const int16_t* coef1,
+                                 const int16_t* coef2, uint8_t* out,
+                                 int64_t cap) {
+  return encode_impl(info, coef0, coef1, coef2, out, cap, false);
+}
+
+// Same contract, but blocks are in ZIGZAG order (zz[k] = nat[kZigzag[k]]).
+// This is the fast path: the device applies the zigzag permutation for free
+// (a static gather XLA fuses into the encode program), so the host skips
+// the per-block 63-element reorder entirely.
+BSJPEG_API int64_t bsjpeg_encode_zz(const bsjpeg_info_t* info,
+                                    const int16_t* coef0, const int16_t* coef1,
+                                    const int16_t* coef2, uint8_t* out,
+                                    int64_t cap) {
+  return encode_impl(info, coef0, coef1, coef2, out, cap, true);
 }

@@ -17,6 +17,8 @@ extern "C" int bsjpeg_decode(const uint8_t*, int64_t, bsjpeg_info_t*,
                              int16_t*, int16_t*, int16_t*);
 extern "C" int64_t bsjpeg_encode(const bsjpeg_info_t*, const int16_t*,
                                  const int16_t*, const int16_t*, uint8_t*, int64_t);
+extern "C" int64_t bsjpeg_encode_zz(const bsjpeg_info_t*, const int16_t*,
+                                    const int16_t*, const int16_t*, uint8_t*, int64_t);
 
 static uint64_t s = 0xdeadbeefcafeULL;
 static uint64_t rnd() { s ^= s<<13; s ^= s>>7; s ^= s<<17; return s; }
@@ -49,10 +51,11 @@ int main(int argc, char** argv) {
       if (!v.empty()) v[rnd() % v.size()] = (int16_t)rnd();
     }
     std::vector<uint8_t> out((size_t)info.width * info.height * 8 + 65536);
-    int64_t m = bsjpeg_encode(&info, coef[0].data(),
-                              info.ncomp > 1 ? coef[1].data() : nullptr,
-                              info.ncomp > 2 ? coef[2].data() : nullptr,
-                              out.data(), (int64_t)out.size());
+    auto enc = (it & 1) ? bsjpeg_encode_zz : bsjpeg_encode;  // both layouts
+    int64_t m = enc(&info, coef[0].data(),
+                    info.ncomp > 1 ? coef[1].data() : nullptr,
+                    info.ncomp > 2 ? coef[2].data() : nullptr,
+                    out.data(), (int64_t)out.size());
     if (m > 0) enc_ok++;
   }
   printf("fuzz2 done: %d encoded, %d rejected, 0 crashes\n", enc_ok, rejected);
