@@ -15,8 +15,11 @@ Usage:
 Stream spec keys: ``src`` (URI: /dev/videoN | file:PATH | test: | mjpg:),
 ``sink`` (URI: /dev/videoN | file:PATH | null:), ``geo`` (WxH),
 optional ``bg`` (still image path; overrides the shared -b for this
-stream).  Backgrounds are static stills here — per-stream video
-backgrounds belong to the single-stream CLI.
+stream), optional ``model`` (.tflite name/path; overrides the shared -m
+— N reference processes each pick their own model, so streams bucket by
+(model, geometry) and each bucket is one fused program).  Backgrounds
+are static stills here — per-stream video backgrounds belong to the
+single-stream CLI.
 """
 
 from __future__ import annotations
@@ -37,7 +40,7 @@ def parse_stream_spec(spec: str) -> dict:
         if "=" not in part:
             raise ValueError(f"stream spec part {part!r} is not key=value")
         k, v = part.split("=", 1)
-        if k not in ("src", "sink", "geo", "bg"):
+        if k not in ("src", "sink", "geo", "bg", "model"):
             raise ValueError(f"unknown stream spec key {k!r}")
         out[k] = v
     for req in ("src", "sink", "geo"):
@@ -148,7 +151,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             # MJPG cameras deliver entropy-decoded coefficients; their
             # bucket decodes on device (runtime/multistream.py)
             jinfo = getattr(src, "jpeg_info", None)
-            streams.append((src.read, sink.write_yuyv, w, h, bg, jinfo))
+            smodel = (resolve_model_path(s["model"]) if s.get("model")
+                      else None)
+            streams.append((src.read, sink.write_yuyv, w, h, bg, jinfo,
+                            smodel))
     except OSError as e:
         print(f"Error: {e}", file=sys.stderr)
         for s_ in sources:
@@ -165,8 +171,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    else jax.lax.Precision.HIGHEST))
     if cfg["debug"]:
         print(f"model: {model_path}\nstreams: {len(streams)} in "
-              f"{server.n_groups} geometry group(s), mesh {dict(mesh.shape)}",
-              file=sys.stderr)
+              f"{server.n_groups} (model, geometry) bucket(s), "
+              f"mesh {dict(mesh.shape)}", file=sys.stderr)
 
     import time
     t0 = time.perf_counter()

@@ -314,11 +314,15 @@ class MultiGeometryServer:
     bit-identical to running that stream alone (tested).
 
     ``streams``: sequence of (source, sink, width, height[, background
-    [, jpeg_info]]) tuples; ``background`` is an optional static
+    [, jpeg_info[, model]]]) tuples; ``background`` is an optional static
     (height, width, 3) BGR u8 array (None = green screen); ``jpeg_info``
     (io.jpeg.JpegInfo, e.g. a CameraSource/JpegSource's ``.jpeg_info``)
     marks the stream as MJPG coefficient frames — such streams bucket by
-    geometry AND chroma sampling and decode on device.
+    geometry AND chroma sampling and decode on device; ``model`` (a
+    resolved .tflite path) overrides the server-wide model for this
+    stream — N reference processes each pick their own ``-m``
+    (app/deepseg.cc:540), so per-stream models bucket the same way
+    per-stream geometries do.
     """
 
     def __init__(self, model: str, config, streams: Sequence[tuple],
@@ -332,17 +336,19 @@ class MultiGeometryServer:
             src, sink, w, h = entry[:4]
             bg = entry[4] if len(entry) > 4 else None
             jinfo = entry[5] if len(entry) > 5 else None
-            key = (w, h, jinfo.sampling if jinfo is not None else None)
+            smodel = entry[6] if len(entry) > 6 and entry[6] else model
+            key = (smodel, w, h,
+                   jinfo.sampling if jinfo is not None else None)
             groups.setdefault(key, (jinfo, []))[1].append((src, sink, bg))
         data_axis = mesh.shape["data"]
         self.servers: List[MultiStreamServer] = []
-        for (w, h, _skey), (jinfo, members) in groups.items():
+        for (smodel, w, h, _skey), (jinfo, members) in groups.items():
             cfg = dataclasses.replace(
                 config, width=w, height=h, out_width=w, out_height=h,
                 input_format="mjpg" if jinfo is not None else config.input_format,
                 jpeg_info=jinfo if jinfo is not None else config.jpeg_info)
             n_slots = math.ceil(len(members) / data_axis) * data_axis
-            ms = MultiStreamPipeline(model, cfg, n_slots, mesh, **pipe_kwargs)
+            ms = MultiStreamPipeline(smodel, cfg, n_slots, mesh, **pipe_kwargs)
             bgs = None
             if any(m[2] is not None for m in members):
                 green = np.asarray(ms.pipe.green)

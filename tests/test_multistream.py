@@ -433,6 +433,43 @@ def test_multigeometry_server_mixed_bgr_and_mjpg(rng):
 
 
 @needs_8
+def test_multigeometry_server_per_stream_models(rng):
+    """Two streams with the SAME geometry but DIFFERENT models bucket into
+    separate fused programs, outputs bit-identical to solo runs — N
+    reference processes each pick their own -m (app/deepseg.cc:540)."""
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    lite = model_path("segm_lite_v681.tflite")
+    bodypix = model_path("body-pix-float-050-8.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    N = 2
+    frames = {m: [rng.integers(0, 256, (48, 64, 3), np.uint8)
+                  for _ in range(N)] for m in (lite, bodypix)}
+
+    def make_source(seq):
+        it = iter(seq)
+        return lambda: next(it, None)
+
+    outs = {m: [] for m in (lite, bodypix)}
+    streams = [
+        (make_source(frames[lite]), outs[lite].append, 64, 48, None, None),
+        (make_source(frames[bodypix]), outs[bodypix].append, 64, 48, None,
+         None, bodypix),
+    ]
+    server = MultiGeometryServer(lite, cfg, streams, mesh)
+    assert server.n_groups == 2
+    assert server.run() == N
+
+    for m in (lite, bodypix):
+        solo = FramePipeline(m, PipelineConfig(width=64, height=48,
+                                               use_bilateral=False))
+        for i in range(N):
+            o, _ = solo.step(frames[m][i])
+            np.testing.assert_array_equal(outs[m][i], np.asarray(o))
+
+
+@needs_8
 def test_multistream_server_mjpg_output(rng):
     """output_format='mjpg': the batched program emits coefficient pytrees;
     per-stream Huffman packs are byte-identical to solo-run encodes."""
