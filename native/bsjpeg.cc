@@ -165,15 +165,17 @@ struct BitReader {
   // the final blocks to complete off padded bits, same as libjpeg).
   void refill() {
     while (cnt <= 32) {
-      if (!at_marker && end - p >= 4 &&
-          ((p[0] | p[1] | p[2] | p[3]) != 0xFF) &&  // quick reject
-          p[0] != 0xFF && p[1] != 0xFF && p[2] != 0xFF && p[3] != 0xFF) {
+      if (!at_marker && end - p >= 4) {
         uint32_t w = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
                      ((uint32_t)p[2] << 8) | (uint32_t)p[3];
-        p += 4;
-        buf |= (uint64_t)w << (32 - cnt);
-        cnt += 32;
-        break;
+        // SWAR: no byte == 0xFF anywhere -> no stuffing/markers possible
+        uint32_t t = ~w;
+        if (((t - 0x01010101u) & ~t & 0x80808080u) == 0) {
+          p += 4;
+          buf |= (uint64_t)w << (32 - cnt);
+          cnt += 32;
+          break;
+        }
       }
       uint64_t b = 0;
       if (!at_marker && p < end) {
