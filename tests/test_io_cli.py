@@ -266,6 +266,9 @@ def test_cli_multi_stream_spec_parsing():
     from backscrub_tpu.cli_multi import parse_args, parse_stream_spec
     s = parse_stream_spec("src=test:,sink=null:,geo=640x480")
     assert s == {"src": "test:", "sink": "null:", "geo": (640, 480)}
+    s = parse_stream_spec("src=test:,sink=null:,geo=64x48,"
+                          "model=body-pix-float-050-8.tflite")
+    assert s["model"] == "body-pix-float-050-8.tflite"
     with pytest.raises(ValueError):
         parse_stream_spec("src=test:,geo=640x480")  # missing sink
     with pytest.raises(ValueError):
