@@ -87,3 +87,11 @@ class MultiStreamPipeline:
         self.ema = jax.device_put(
             jnp.full((self.n_streams, oh, ow), 255, jnp.uint8),
             self._batch_sharding)
+
+    def reset_stream(self, s: int):
+        """Reset ONE stream's temporal EMA to the all-background init
+        (libbackscrub.cc:248 semantics) without touching the others —
+        used when a batch slot is re-occupied by a new live stream
+        (MultiStreamServer.attach)."""
+        self.ema = jax.device_put(self.ema.at[s].set(255),
+                                  self._batch_sharding)

@@ -101,6 +101,14 @@ class MultiStreamServer:
     or a static (S, H, W, 3) array (uploaded to the device ONCE); None =
     green screen.
     ``depth``: in-flight result ring depth (transfer/compute overlap).
+
+    Membership is ELASTIC: :meth:`attach` occupies a free batch slot with
+    a new live stream at runtime and :meth:`detach` frees one — no
+    recompilation (the batch shape is static), the slot's temporal EMA
+    resets to a fresh pipeline's state, and in-flight results of a
+    previous occupant never reach a new sink (generation-guarded ring).
+    Cameras connecting/disconnecting against a long-running server are a
+    slot update, where the reference would fork/kill a process per camera.
     """
 
     def __init__(self, ms: MultiStreamPipeline,
@@ -111,7 +119,10 @@ class MultiStreamServer:
         # Fewer sources than batch slots is allowed: the tail slots are
         # padding (they ride the static-shape batch but never deliver) —
         # this is how geometry buckets with stream counts that don't divide
-        # the mesh data axis are served (MultiGeometryServer).
+        # the mesh data axis are served (MultiGeometryServer), and how
+        # elastic membership works: ``attach`` occupies a free slot at
+        # runtime, ``detach`` frees one, with no recompilation (the batch
+        # shape is static).
         if len(sources) > ms.n_streams or len(sinks) != len(sources):
             raise ValueError(
                 f"need at most {ms.n_streams} sources with matching sinks "
@@ -119,13 +130,19 @@ class MultiStreamServer:
         if depth < 1:
             raise ValueError("depth must be >= 1")
         self.ms = ms
-        self.sources = list(sources)
-        self.sinks = list(sinks)
+        # slot-indexed state over the FULL batch; None = free slot
+        pad = ms.n_streams - len(sources)
+        self.sources = list(sources) + [None] * pad
+        self.sinks = list(sinks) + [None] * pad
+        self._gen = [0] * ms.n_streams  # bumps on attach/detach; guards the
+        #                                 ring against delivering a previous
+        #                                 occupant's output to a new sink
+        self._slots_lock = threading.Lock()
         self.threaded = threaded
         self.depth = depth
         self.stall_timeout = stall_timeout
         cfg = ms.pipe.cfg
-        self.n_real = len(self.sources)  # slots beyond this are padding
+        self.n_real = len(sources)  # initial occupancy (attach may grow it)
         self._mjpg = cfg.input_format == "mjpg"
         if self._mjpg:
             # stream frames are (coefs tuple, qtabs); batch each leaf
@@ -143,14 +160,17 @@ class MultiStreamServer:
             else:
                 self._shape = (cfg.height, cfg.width, 3)
             self._frames = np.zeros((ms.n_streams,) + self._shape, np.uint8)
-        self._live = [True] * self.n_real
-        self._ever = [False] * self.n_real  # produced at least one frame
-        self._readers: Optional[List[_Reader]] = None
+        S = ms.n_streams
+        self._live = [s < self.n_real for s in range(S)]
+        self._ever = [False] * S  # produced at least one frame
+        self._readers: Optional[List[Optional[_Reader]]] = None
         # static backgrounds upload once; callables re-evaluate per tick
         self.backgrounds = backgrounds
+        self._bg_host: Optional[np.ndarray] = None  # for attach-time edits
         if backgrounds is not None and not callable(backgrounds):
-            self.backgrounds = jax.device_put(
-                self._pad_batch(np.asarray(backgrounds)), ms._batch_sharding)
+            self._bg_host = self._pad_batch(np.asarray(backgrounds)).copy()
+            self.backgrounds = jax.device_put(self._bg_host,
+                                              ms._batch_sharding)
         self._ring: collections.deque = collections.deque()
 
     def _store(self, s: int, frame) -> None:
@@ -174,9 +194,9 @@ class MultiStreamServer:
 
     # -- one gather: fill self._frames, return per-stream "fresh" flags ----
     def _gather_pull(self) -> List[bool]:
-        fresh = [False] * self.n_real
+        fresh = [False] * self.ms.n_streams
         for s, src in enumerate(self.sources):
-            if not self._live[s]:
+            if src is None or not self._live[s]:
                 continue
             frame = src()
             if frame is None:
@@ -189,9 +209,9 @@ class MultiStreamServer:
 
     def _gather_threaded(self) -> List[bool]:
         assert self._readers is not None
-        fresh = [False] * self.n_real
+        fresh = [False] * self.ms.n_streams
         for s, r in enumerate(self._readers):
-            if not self._live[s]:
+            if r is None or not self._live[s]:
                 continue
             latest, seq, done = r.snapshot()
             if latest is not None and seq != r._consumed:
@@ -224,46 +244,123 @@ class MultiStreamServer:
                 leaf.copy_to_host_async()
             except Exception:
                 pass
-        self._ring.append((out, deliver))
+        self._ring.append((out, deliver, list(self._gen)))
 
     def _drain(self, force: bool = False):
         while self._ring and (force or len(self._ring) > self.depth):
-            out, deliver = self._ring.popleft()
+            out, deliver, gens = self._ring.popleft()
             # mjpg-output pipelines return coefficient pytrees; each leaf
             # is stream-batched on axis 0
             tree = jax.tree_util.tree_map(np.asarray, out)
             is_tree = isinstance(tree, (tuple, list))
             for s, sink in enumerate(self.sinks):
-                if deliver[s]:
+                # gen check: never hand a previous occupant's in-flight
+                # result to a slot that was re-attached since the dispatch
+                if sink is not None and deliver[s] and gens[s] == self._gen[s]:
                     sink(jax.tree_util.tree_map(lambda a: a[s], tree)
                          if is_tree else tree[s])
+
+    # -- elastic membership --------------------------------------------------
+    def attach(self, source: Callable[[], Optional[np.ndarray]],
+               sink: Callable[[np.ndarray], None],
+               background: Optional[np.ndarray] = None) -> int:
+        """Occupy a free batch slot with a new live stream at runtime.
+
+        No recompilation: the dispatch shape is static, so a new camera
+        connecting is a slot update — the slot's temporal EMA resets to the
+        all-background init (exactly a fresh solo pipeline's state), its
+        frame placeholder zeroes, and, in threaded mode, a reader thread
+        spawns.  Returns the slot id (use it with :meth:`detach`).  Raises
+        RuntimeError when every slot is occupied — size the batch with
+        headroom (MultiGeometryServer already rounds up to the mesh data
+        axis).  ``background`` (H, W, 3 BGR u8) sets the slot's static
+        background; only valid when the server's backgrounds are static
+        (not a per-tick callable)."""
+        with self._slots_lock:
+            free = [s for s in range(self.ms.n_streams)
+                    if self.sources[s] is None]
+            if not free:
+                raise RuntimeError(
+                    f"all {self.ms.n_streams} batch slots are occupied")
+            s = free[0]
+            self.sources[s] = source
+            self.sinks[s] = sink
+            self._gen[s] += 1
+            self._live[s] = True
+            self._ever[s] = False
+            self.ms.reset_stream(s)
+            # defined (if irrelevant) compute for the slot until its first
+            # real frame arrives
+            if self._mjpg:
+                bcoefs, bqt = self._frames
+                for c in bcoefs:
+                    c[s] = 0
+                bqt[s] = 0
+            else:
+                self._frames[s] = 0
+            if background is not None:
+                if callable(self.backgrounds):
+                    raise ValueError("per-slot background conflicts with a "
+                                     "per-tick backgrounds callable")
+                if self._bg_host is None:
+                    green = np.asarray(self.ms.pipe.green)
+                    self._bg_host = np.broadcast_to(
+                        green, (self.ms.n_streams,) + green.shape).copy()
+                self._bg_host[s] = background
+                self.backgrounds = jax.device_put(self._bg_host,
+                                                  self.ms._batch_sharding)
+            if self.threaded and self._readers is not None:
+                r = _Reader(source)
+                self._readers[s] = r
+                r.thread.start()
+            self.n_real = max(self.n_real, s + 1)
+            return s
+
+    def detach(self, slot: int) -> None:
+        """Free a batch slot: its sink stops receiving (including results
+        already in flight) and the slot becomes attachable again."""
+        with self._slots_lock:
+            if not (0 <= slot < self.ms.n_streams) or self.sources[slot] is None:
+                raise ValueError(f"slot {slot} is not attached")
+            if self._readers is not None and self._readers[slot] is not None:
+                self._readers[slot].stop()
+                self._readers[slot] = None
+            self.sources[slot] = None
+            self.sinks[slot] = None
+            self._gen[slot] += 1
+            self._live[slot] = False
+            self._ever[slot] = False
 
     def start(self):
         """Spawn reader threads (threaded mode); idempotent."""
         if self.threaded and self._readers is None:
-            self._readers = [_Reader(s) for s in self.sources]
+            self._readers = [_Reader(s) if s is not None else None
+                             for s in self.sources]
             for r in self._readers:
-                r.thread.start()
+                if r is not None:
+                    r.thread.start()
 
     def tick(self) -> Optional[bool]:
         """One gather -> dispatch -> drain cycle.
 
         Returns True when a batch was dispatched, False when nothing new
         arrived (threaded idle), None when every stream is done."""
-        fresh = (self._gather_threaded() if self.threaded
-                 else self._gather_pull())
-        if not any(self._live):
-            return None
-        if self.threaded and not any(fresh):
-            return False
-        out, _masks = self.ms.step(self._frames, self._background_batch())
-        # deliver to live streams that have really produced frames; in pull
-        # mode only fresh ones (a stream at EOF mid-batch must not repeat
-        # its last frame)
-        deliver = [self._live[s] and self._ever[s] and
-                   (fresh[s] or self.threaded)
-                   for s in range(self.n_real)]
-        self._submit(out, deliver)
+        with self._slots_lock:
+            fresh = (self._gather_threaded() if self.threaded
+                     else self._gather_pull())
+            if not any(self._live):
+                return None
+            if self.threaded and not any(fresh):
+                return False
+            out, _masks = self.ms.step(self._frames,
+                                       self._background_batch())
+            # deliver to live streams that have really produced frames; in
+            # pull mode only fresh ones (a stream at EOF mid-batch must not
+            # repeat its last frame)
+            deliver = [self._live[s] and self._ever[s] and
+                       (fresh[s] or self.threaded)
+                       for s in range(self.ms.n_streams)]
+            self._submit(out, deliver)
         self._drain()
         return True
 
@@ -272,7 +369,8 @@ class MultiStreamServer:
         self._drain(force=True)
         if self._readers is not None:
             for r in self._readers:
-                r.stop()
+                if r is not None:
+                    r.stop()
 
     def run(self, frames: int = 0) -> int:
         """Serve until every stream ends (or ``frames`` ticks, or a full

@@ -433,6 +433,88 @@ def test_multigeometry_server_mixed_bgr_and_mjpg(rng):
 
 
 @needs_8
+def test_multistream_server_elastic_attach_detach(rng):
+    """attach() occupies a free slot mid-run (EMA reset => outputs
+    bit-identical to a solo pipeline from its first frame), detach() stops
+    deliveries; a detached slot is reattachable and the new sink never
+    sees a previous occupant's in-flight results."""
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    ms = MultiStreamPipeline(path, cfg, mesh.shape["data"], mesh)
+    S = ms.n_streams
+    assert S >= 2
+
+    n_a, n_b = 6, 3
+    frames_a = [rng.integers(0, 256, (48, 64, 3), np.uint8)
+                for _ in range(n_a)]
+    frames_b = [rng.integers(0, 256, (48, 64, 3), np.uint8)
+                for _ in range(n_b)]
+    bg_b = rng.integers(0, 256, (48, 64, 3), np.uint8)
+
+    def make_source(seq):
+        it = iter(seq)
+        return lambda: next(it, None)
+
+    out_a, out_b = [], []
+    server = MultiStreamServer(ms, [make_source(frames_a)], [out_a.append],
+                               depth=1)
+    server.start()
+    # two ticks with only A
+    assert server.tick() and server.tick()
+    # B connects mid-run with its own background
+    slot_b = server.attach(make_source(frames_b), out_b.append,
+                           background=bg_b)
+    assert slot_b != 0
+    for _ in range(3):
+        server.tick()
+    # A disconnects while results may still be in flight; B continues
+    server.detach(0)
+    while server.tick():
+        pass
+    server.finish()
+
+    assert len(out_a) <= n_a and len(out_b) == n_b
+    # B must match a solo pipeline from ITS first frame (EMA was reset)
+    solo = FramePipeline(path, cfg)
+    for i in range(n_b):
+        o, _ = solo.step(frames_b[i], bg_b)
+        np.testing.assert_array_equal(out_b[i], np.asarray(o))
+
+    # reattach into the freed slot: new sink gets only its own results
+    out_c = []
+    frames_c = [rng.integers(0, 256, (48, 64, 3), np.uint8)]
+    slot_c = server.attach(make_source(frames_c), out_c.append)
+    assert slot_c == 0
+    while server.tick():
+        pass
+    server.finish()
+    assert len(out_c) == 1
+    solo2 = FramePipeline(path, cfg)
+    o, _ = solo2.step(frames_c[0])
+    np.testing.assert_array_equal(out_c[0], np.asarray(o))
+
+
+@needs_8
+def test_multistream_server_attach_full_raises(rng):
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    S = mesh.shape["data"]
+    ms = MultiStreamPipeline(path, cfg, S, mesh)
+    server = MultiStreamServer(ms, [lambda: None] * S,
+                               [lambda _: None] * S)
+    with pytest.raises(RuntimeError, match="occupied"):
+        server.attach(lambda: None, lambda _: None)
+    with pytest.raises(ValueError, match="not attached"):
+        server.detach(S + 3)
+
+
+@needs_8
 def test_multigeometry_server_per_stream_models(rng):
     """Two streams with the SAME geometry but DIFFERENT models bucket into
     separate fused programs, outputs bit-identical to solo runs — N
