@@ -45,6 +45,8 @@ usage:
 -m            Segmentation model (.tflite)
 -p            Add post-processing steps
 -p bgblur:<strength>   Blur the video background
+-p bgpixelate:<n>      Mosaic the background with n x n tiles (privacy mode)
+-p bgdesat             Desaturate (grayscale) the background
 -p refine:guided       Edge-aware guided-filter mask refinement (default: box)
 -p jpegq:<1-100>       JPEG quality for --sink-format mjpg (default 85)
 -H            Mirror the output horizontally
@@ -75,7 +77,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
                correct_colors=False, staging=False, sink_format="yuyv",
-               stats_json=None, drain_thread=False, jpeg_quality=85)
+               stats_json=None, drain_thread=False, jpeg_quality=85,
+               bg_pixelate=0, bg_desaturate=False)
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -143,6 +146,13 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                 if not value.isdigit() or not 1 <= int(value) <= 100:
                     raise ValueError("jpegq value must be 1..100")
                 cfg["jpeg_quality"] = int(value)
+            elif opt.startswith("bgpixelate"):
+                value = opt.split(":", 1)[1] if ":" in opt else "16"
+                if not value.isdigit() or int(value) < 2:
+                    raise ValueError("bgpixelate tile size must be >= 2")
+                cfg["bg_pixelate"] = int(value)
+            elif opt == "bgdesat":
+                cfg["bg_desaturate"] = True
             else:
                 raise ValueError(f"unknown post-processing option {opt!r}")
         elif a == "--frames":
@@ -251,6 +261,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     pcfg = PipelineConfig(
         width=cw, height=ch, out_width=vw, out_height=vh,
         blur_strength=cfg["blur_strength"],
+        bg_pixelate=cfg["bg_pixelate"], bg_desaturate=cfg["bg_desaturate"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
         mask_refine=cfg["mask_refine"],

@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from .decode import decode_val, ema_update
-from .image import (alpha_blend_u8, bgr_to_i420, bgr_to_nv12, flip,
-                    gaussian_blur, nv12_to_bgr_u8, resize_bilinear,
-                    rgb_to_yuyv, yuyv_to_rgb_u8)
+from .image import (alpha_blend_u8, bgr_to_i420, bgr_to_nv12, desaturate_u8,
+                    flip, gaussian_blur, nv12_to_bgr_u8, pixelate_u8,
+                    resize_bilinear, rgb_to_yuyv, yuyv_to_rgb_u8)
 from .maskgen import MaskGen, postprocess_mask, preprocess
 
 
@@ -35,6 +35,10 @@ class PipelineConfig:
     out_width: Optional[int] = None   # virtual camera geometry (--vg); None = same
     out_height: Optional[int] = None
     blur_strength: int = 0     # -p bgblur:<odd> (app/deepseg.cc:415-437); 0 = off
+    bg_desaturate: bool = False  # -p bgdesat: grayscale background (beyond
+                                 # parity; applied before pixelate/blur)
+    bg_pixelate: int = 0         # -p bgpixelate:<n>: mosaic the background
+                                 # with n x n tiles (beyond parity); 0 = off
     flip_horizontal: bool = False
     flip_vertical: bool = False
     use_bilateral: bool = True
@@ -218,8 +222,13 @@ class FramePipeline:
             mask = postprocess_mask(new_ema, geo, precision=self.precision,
                                     refine=cfg.mask_refine, frame_bgr=frame)
 
-            # --- background (app/deepseg.cc:645-658)
+            # --- background (app/deepseg.cc:645-658) + -p effects, all
+            # fused device stages: desaturate -> pixelate -> blur
             bg_frame = frame if bg_mode == "blur" else bg
+            if cfg.bg_desaturate:
+                bg_frame = desaturate_u8(bg_frame)
+            if cfg.bg_pixelate:
+                bg_frame = pixelate_u8(bg_frame, cfg.bg_pixelate)
             if cfg.blur_strength:
                 bg_f = gaussian_blur(bg_frame.astype(jnp.float32), cfg.blur_strength)
                 bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
@@ -247,7 +256,12 @@ class FramePipeline:
         else:
             frame = jnp.asarray(frame_bgr_u8)
         params = self.maskgen.model.params
-        if background_bgr_u8 is None and self.cfg.blur_strength:
+        # no explicit background + any bg effect -> the camera frame itself
+        # is the background source (bgblur mode, app/deepseg.cc:652-655;
+        # bgpixelate/bgdesat compose the same way, e.g. a privacy mosaic)
+        if background_bgr_u8 is None and (self.cfg.blur_strength or
+                                          self.cfg.bg_pixelate or
+                                          self.cfg.bg_desaturate):
             step = self._get_step("blur", fh, fv, filter_active)
             out, mask, self.maskgen.ema = step(params, frame, self.maskgen.ema)
         else:

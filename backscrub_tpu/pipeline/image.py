@@ -275,6 +275,50 @@ def _descale(x, n: int = 14):
     return (x + (1 << (n - 1))) >> n
 
 
+def bgr_to_gray_u8(bgr_u8):
+    """cv::cvtColor(BGR2GRAY) bit-exact, (..., H, W, 3) BGR u8 ->
+    (..., H, W) u8.  OpenCV's gray path uses 15-bit fixed point
+    (R 9798, G 19235, B 3735, round-half-up) — NOT the 14-bit set its
+    RGB2YUV path uses; verified exhaustively vs cv2 in tests."""
+    p = bgr_u8.astype(jnp.int32)
+    b, g, r = p[..., 0], p[..., 1], p[..., 2]
+    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
+            ).astype(jnp.uint8)
+
+
+def desaturate_u8(bgr_u8):
+    """Grayscale-as-BGR (-p bgdesat background effect; beyond parity —
+    the reference's -p namespace only ever shipped bgblur,
+    app/deepseg.cc:415-437)."""
+    y = bgr_to_gray_u8(bgr_u8)
+    return jnp.broadcast_to(y[..., None], y.shape + (3,))
+
+
+def pixelate_u8(img_u8, block: int):
+    """Mosaic (-p bgpixelate:<n> background effect; beyond parity).
+
+    Edge-replicates to a block multiple, box-averages each block x block
+    tile (round half up), and nearest-upsamples back — all dense device
+    math that XLA fuses into the frame program.  (..., H, W, 3) u8."""
+    if block < 2:
+        return img_u8
+    h, w = img_u8.shape[-3], img_u8.shape[-2]
+    hb, wb = -(-h // block), -(-w // block)
+    x = img_u8.astype(jnp.int32)
+    if hb * block != h:
+        pad = jnp.repeat(x[..., -1:, :, :], hb * block - h, axis=-3)
+        x = jnp.concatenate([x, pad], axis=-3)
+    if wb * block != w:
+        pad = jnp.repeat(x[..., :, -1:, :], wb * block - w, axis=-2)
+        x = jnp.concatenate([x, pad], axis=-2)
+    lead = x.shape[:-3]
+    x = x.reshape(*lead, hb, block, wb, block, 3)
+    m = (x.sum(axis=(-4, -2)) + block * block // 2) // (block * block)
+    up = jnp.repeat(jnp.repeat(m.astype(jnp.uint8), block, axis=-3),
+                    block, axis=-2)
+    return up[..., :h, :w, :]
+
+
 def rgb_to_yuv_u8(rgb_u8):
     """cv::cvtColor(RGB2YUV) bit-exact, (..., H, W, 3) u8 -> u8."""
     p = rgb_u8.astype(jnp.int32)

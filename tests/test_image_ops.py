@@ -270,3 +270,68 @@ def test_uyvy_pipeline_ingest_matches_bgr(rng):
     o1, _ = p1.step(bgr, bg)
     o2, _ = p2.step(uyvy.reshape(h, 2 * w), bg)
     np.testing.assert_array_equal(np.asarray(o2), np.asarray(o1))
+
+
+def test_bgr_to_gray_bit_exact(rng):
+    x = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    ours = np.asarray(im.bgr_to_gray_u8(jnp.asarray(x)))
+    np.testing.assert_array_equal(ours, cv2.cvtColor(x, cv2.COLOR_BGR2GRAY))
+
+
+def test_desaturate_is_gray_in_three_channels(rng):
+    x = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    d = np.asarray(im.desaturate_u8(jnp.asarray(x)))
+    gray = cv2.cvtColor(x, cv2.COLOR_BGR2GRAY)
+    for c in range(3):
+        np.testing.assert_array_equal(d[..., c], gray)
+
+
+@pytest.mark.parametrize("shape,block", [((48, 64), 8), ((47, 61), 8),
+                                         ((48, 64), 5), ((9, 7), 16)])
+def test_pixelate_matches_numpy_golden(rng, shape, block):
+    """pixelate_u8 = edge-replicate to a block multiple, box-mean each
+    tile (round half up), nearest-upsample, crop."""
+    h, w = shape
+    x = rng.integers(0, 256, (h, w, 3), np.uint8)
+    hb, wb = -(-h // block), -(-w // block)
+    pad = np.pad(x.astype(np.int64),
+                 ((0, hb * block - h), (0, wb * block - w), (0, 0)),
+                 mode="edge")
+    tiles = pad.reshape(hb, block, wb, block, 3).sum(axis=(1, 3))
+    means = ((tiles + block * block // 2) // (block * block)).astype(np.uint8)
+    golden = means.repeat(block, 0).repeat(block, 1)[:h, :w]
+    ours = np.asarray(im.pixelate_u8(jnp.asarray(x), block))
+    np.testing.assert_array_equal(ours, golden)
+    # constant image is a fixed point
+    const = np.full((h, w, 3), 77, np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(im.pixelate_u8(jnp.asarray(const), block)), const)
+
+
+def test_pipeline_bg_effects(rng):
+    """-p bgdesat/-p bgpixelate apply to the background inside the fused
+    program: identical to pre-effecting the background on host; with no
+    explicit background the camera frame is the background source
+    (privacy-mosaic mode)."""
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+
+    path = model_path("segm_lite_v681.tflite")
+    frame = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    bg = rng.integers(0, 256, (48, 64, 3), np.uint8)
+
+    base = dict(width=64, height=48, use_bilateral=False)
+    pipe_fx = FramePipeline(path, PipelineConfig(
+        **base, bg_desaturate=True, bg_pixelate=8))
+    plain = FramePipeline(path, PipelineConfig(**base))
+    bg_fx = np.asarray(im.pixelate_u8(im.desaturate_u8(jnp.asarray(bg)), 8))
+    out_fx, _ = pipe_fx.step(frame, bg)
+    out_ref, _ = plain.step(frame, bg_fx)
+    np.testing.assert_array_equal(np.asarray(out_fx), np.asarray(out_ref))
+
+    # privacy mosaic: no background -> camera frame, pixelated, is the bg
+    priv = FramePipeline(path, PipelineConfig(**base, bg_pixelate=8))
+    out_priv, _ = priv.step(frame)
+    expl = FramePipeline(path, PipelineConfig(**base, bg_pixelate=8))
+    out_expl, _ = expl.step(frame, frame)
+    np.testing.assert_array_equal(np.asarray(out_priv), np.asarray(out_expl))

@@ -61,6 +61,14 @@ def test_parse_bgblur_reference_semantics():
         parse_args(["-p", "nonsense:1"])
 
 
+def test_parse_bg_effects():
+    cfg = parse_args(["-p", "bgpixelate:12", "-p", "bgdesat"])
+    assert cfg["bg_pixelate"] == 12 and cfg["bg_desaturate"]
+    assert parse_args(["-p", "bgpixelate"])["bg_pixelate"] == 16  # default
+    with pytest.raises(ValueError):
+        parse_args(["-p", "bgpixelate:1"])
+
+
 def test_usage_on_unknown():
     with pytest.raises(ValueError):
         parse_args(["--bogus"])
