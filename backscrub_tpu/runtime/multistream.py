@@ -115,7 +115,8 @@ class MultiStreamServer:
                  sources: Sequence[Callable[[], Optional[np.ndarray]]],
                  sinks: Sequence[Callable[[np.ndarray], None]],
                  backgrounds=None, threaded: bool = False, depth: int = 2,
-                 stall_timeout: Optional[float] = None):
+                 stall_timeout: Optional[float] = None,
+                 keep_alive: bool = False):
         # Fewer sources than batch slots is allowed: the tail slots are
         # padding (they ride the static-shape batch but never deliver) —
         # this is how geometry buckets with stream counts that don't divide
@@ -141,6 +142,10 @@ class MultiStreamServer:
         self.threaded = threaded
         self.depth = depth
         self.stall_timeout = stall_timeout
+        # keep_alive: an elastic server must survive its last stream ending
+        # (tick() reports idle instead of done, run() keeps spinning until
+        # stall_timeout/frames) so later attach() calls find it serving
+        self.keep_alive = keep_alive
         cfg = ms.pipe.cfg
         self.n_real = len(sources)  # initial occupancy (attach may grow it)
         self._mjpg = cfg.input_format == "mjpg"
@@ -349,7 +354,7 @@ class MultiStreamServer:
             fresh = (self._gather_threaded() if self.threaded
                      else self._gather_pull())
             if not any(self._live):
-                return None
+                return False if self.keep_alive else None
             if self.threaded and not any(fresh):
                 return False
             out, _masks = self.ms.step(self._frames,

@@ -498,6 +498,63 @@ def test_multistream_server_elastic_attach_detach(rng):
 
 
 @needs_8
+def test_multistream_server_keep_alive_and_threaded_attach(rng):
+    """keep_alive: the server reports idle (False) instead of done (None)
+    when its last stream ends, so a later attach() finds it serving —
+    threaded mode included (attach spawns the slot's reader thread)."""
+    import time as _time
+    from backscrub_tpu.runtime.multistream import MultiStreamServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=64, height=48, use_bilateral=False)
+    mesh = make_mesh(8)
+    ms = MultiStreamPipeline(path, cfg, mesh.shape["data"], mesh)
+
+    frames_a = [rng.integers(0, 256, (48, 64, 3), np.uint8)]
+    out_a, out_b = [], []
+    it_a = iter(frames_a)
+    server = MultiStreamServer(ms, [lambda: next(it_a, None)], [out_a.append],
+                               threaded=True, depth=1, keep_alive=True)
+    server.start()
+    deadline = _time.monotonic() + 30
+    while not out_a and _time.monotonic() < deadline:
+        server.tick()
+        server._drain(force=True)
+        _time.sleep(0.005)
+    assert out_a, "stream A never delivered"
+    # A's source is exhausted; with keep_alive the server idles, not dies
+    for _ in range(20):
+        r = server.tick()
+        if r is False:
+            break
+        _time.sleep(0.01)
+    assert server.tick() is not None
+
+    import threading
+    frame_b = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    produced = threading.Event()
+
+    def src_b():
+        if produced.is_set():
+            _time.sleep(0.01)
+            return np.array(frame_b)  # keep the reader alive (latest-wins)
+        produced.set()
+        return np.array(frame_b)
+
+    server.attach(src_b, out_b.append)
+    deadline = _time.monotonic() + 30
+    while not out_b and _time.monotonic() < deadline:
+        server.tick()
+        server._drain(force=True)
+        _time.sleep(0.005)
+    server.finish()
+    assert out_b, "attached stream B never delivered"
+    solo = FramePipeline(path, cfg)
+    o, _ = solo.step(frame_b)
+    np.testing.assert_array_equal(out_b[0], np.asarray(o))
+
+
+@needs_8
 def test_multistream_server_attach_full_raises(rng):
     from backscrub_tpu.runtime.multistream import MultiStreamServer
 
