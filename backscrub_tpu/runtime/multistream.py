@@ -430,7 +430,8 @@ class MultiGeometryServer:
 
     def __init__(self, model: str, config, streams: Sequence[tuple],
                  mesh, *, threaded: bool = False, depth: int = 2,
-                 stall_timeout: Optional[float] = None, **pipe_kwargs):
+                 stall_timeout: Optional[float] = None,
+                 keep_alive: bool = False, **pipe_kwargs):
         import dataclasses
         import math
 
@@ -460,7 +461,7 @@ class MultiGeometryServer:
             self.servers.append(MultiStreamServer(
                 ms, [m[0] for m in members], [m[1] for m in members],
                 backgrounds=bgs, threaded=threaded, depth=depth,
-                stall_timeout=stall_timeout))
+                stall_timeout=stall_timeout, keep_alive=keep_alive))
         self.stall_timeout = stall_timeout
 
     @property

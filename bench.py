@@ -503,6 +503,74 @@ def run_parity_check():
     sys.exit(0 if worst >= 0.99 else 1)
 
 
+def run_attrib():
+    """Attribute the fused 720p step's device time across its stages by
+    timing progressively larger jitted sub-programs (prefix timing — each
+    figure includes the stages before it, so deltas are per-stage costs).
+    Merges a step_attribution_720p record into BENCH_DETAILS.json."""
+    import jax
+    import jax.numpy as jnp
+    from backscrub_tpu.pipeline.maskgen import preprocess, postprocess_mask
+    from backscrub_tpu.pipeline.decode import decode_val, ema_update
+    from backscrub_tpu.pipeline.image import alpha_blend_u8, rgb_to_yuyv
+
+    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
+    geo, spec, model = pipe.geo, pipe.spec, pipe.maskgen.model
+    params, prec = model.params, pipe.precision
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(rng.integers(0, 256, (720, 1280, 3), np.uint8))
+    bg = jax.device_put(rng.integers(0, 256, (720, 1280, 3), np.uint8))
+    ema = jax.device_put(jnp.full(model.output_shape[1:3], 255, jnp.uint8))
+
+    def timeit(fn, *args, n=300):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n * 1e6)
+        return round(best, 1)  # us
+
+    def to_mask(p, fr, e):
+        x = preprocess(fr, geo, spec, use_bilateral=True, precision=prec)
+        out = model.raw_fn(p, x[None])[0]
+        ne = ema_update(e, decode_val(out.astype(jnp.float32), spec))
+        return postprocess_mask(ne, geo, precision=prec, refine="box",
+                                frame_bgr=fr), ne
+
+    def full(p, fr, b, e):
+        m, ne = to_mask(p, fr, e)
+        yuyv = rgb_to_yuyv(alpha_blend_u8(b, fr, m))
+        return yuyv.reshape(yuyv.shape[:-2] + (yuyv.shape[-2] * 2,)), ne
+
+    rec = {
+        "preprocess_us": timeit(jax.jit(
+            lambda fr: preprocess(fr, geo, spec, use_bilateral=True,
+                                  precision=prec)), frame),
+        "pre_cnn_us": timeit(jax.jit(
+            lambda p, fr: model.raw_fn(p, preprocess(
+                fr, geo, spec, use_bilateral=True,
+                precision=prec)[None])), params, frame),
+        "pre_cnn_decode_post_us": timeit(jax.jit(to_mask), params, frame, ema),
+        "full_step_us": timeit(jax.jit(full), params, frame, bg, ema),
+    }
+    for k, v in rec.items():
+        print(f"  {k:26s} {v:8.1f} us", file=sys.stderr)
+    results = {}
+    if os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as f:
+            results = json.load(f)
+    results["step_attribution_720p"] = rec
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"metric": "step_attribution_720p_full_us",
+                      "value": rec["full_step_us"], "unit": "us",
+                      "vs_baseline": 1.0}))
+
+
 def run_profile():
     """Capture a jax.profiler trace of the headline config (100 steps) for
     TensorBoard/Perfetto; prints the trace directory."""
@@ -527,6 +595,9 @@ def main():
         return
     if "--profile" in sys.argv:
         run_profile()
+        return
+    if "--attrib" in sys.argv:
+        run_attrib()
         return
     if "--e2e" in sys.argv:
         # measured end-to-end sweep only; merges into BENCH_DETAILS.json

@@ -69,4 +69,5 @@ int main(int argc, char** argv) {
 //   /tmp/fuzz_bsjpeg <seed.jpg> <iterations>
 // Seeds: any cv2.imencode output (plain/RST/optimized/gray/444 all exercised;
 // tests/test_jpeg.py::test_fuzz_byte_flips_never_crash keeps a fast
-// regression in the suite).  Last clean sweep: 35k iterations, 0 crashes.
+// regression in the suite).  Last clean sweep: 30k iterations alternating
+// natural/zigzag encode layouts (post-SWAR-refill decoder), 0 crashes.
