@@ -48,6 +48,7 @@ usage:
 -p bgpixelate:<n>      Mosaic the background with n x n tiles (privacy mode)
 -p bgdesat             Desaturate (grayscale) the background
 -p refine:guided       Edge-aware guided-filter mask refinement (default: box)
+-p morph:<op>[:k]      Mask morphology (erode|dilate|open|close, odd k, def 3)
 -p jpegq:<1-100>       JPEG quality for --sink-format mjpg (default 85)
 -H            Mirror the output horizontally
 -V            Mirror the output vertically
@@ -78,7 +79,7 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                frames=0, bf16=False, int8=False, bilateral=True,
                correct_colors=False, staging=False, sink_format="yuyv",
                stats_json=None, drain_thread=False, jpeg_quality=85,
-               bg_pixelate=0, bg_desaturate=False)
+               bg_pixelate=0, bg_desaturate=False, mask_morph="")
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -153,6 +154,15 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                 cfg["bg_pixelate"] = int(value)
             elif opt == "bgdesat":
                 cfg["bg_desaturate"] = True
+            elif opt.startswith("morph"):
+                spec = opt.split(":", 1)[1] if ":" in opt else "open"
+                parts = spec.split(":")
+                if parts[0] not in ("erode", "dilate", "open", "close"):
+                    raise ValueError("morph op must be erode|dilate|open|close")
+                if len(parts) > 1 and (not parts[1].isdigit()
+                                       or int(parts[1]) % 2 == 0):
+                    raise ValueError("morph kernel must be an odd integer")
+                cfg["mask_morph"] = spec
             else:
                 raise ValueError(f"unknown post-processing option {opt!r}")
         elif a == "--frames":
@@ -264,7 +274,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bg_pixelate=cfg["bg_pixelate"], bg_desaturate=cfg["bg_desaturate"],
         flip_horizontal=cfg["flip_h"], flip_vertical=cfg["flip_v"],
         use_bilateral=cfg["bilateral"], correct_colors=cfg["correct_colors"],
-        mask_refine=cfg["mask_refine"],
+        mask_refine=cfg["mask_refine"], mask_morph=cfg["mask_morph"],
         input_format=in_fmt, jpeg_info=jpeg_info,
         output_format="bgr" if cfg["sink_format"] == "bgr24" else cfg["sink_format"],
         out_jpeg_quality=cfg["jpeg_quality"],

@@ -44,6 +44,9 @@ class PipelineConfig:
     use_bilateral: bool = True
     mask_refine: str = "box"         # "box" (reference 5x5 blur) | "guided"
                                      # (edge-aware guided filter, -p refine:guided)
+    mask_morph: str = ""             # -p morph:<erode|dilate|open|close>[:k]
+                                     # — cv2-bit-exact morphology on the
+                                     # person region at model resolution
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -220,7 +223,8 @@ class FramePipeline:
             val = decode_val(out.astype(jnp.float32), spec)
             new_ema = ema_update(ema, val)
             mask = postprocess_mask(new_ema, geo, precision=self.precision,
-                                    refine=cfg.mask_refine, frame_bgr=frame)
+                                    refine=cfg.mask_refine, frame_bgr=frame,
+                                    morph=cfg.mask_morph)
 
             # --- background (app/deepseg.cc:645-658) + -p effects, all
             # fused device stages: desaturate -> pixelate -> blur

@@ -20,6 +20,7 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.misc import resize_matrix
 
@@ -273,6 +274,49 @@ _U_C, _V_C = 8061, 14369
 
 def _descale(x, n: int = 14):
     return (x + (1 << (n - 1))) >> n
+
+
+def _morph_u8(x_u8, k: int, reducer, init: int):
+    if k < 1 or k % 2 == 0:
+        raise ValueError(f"morphology kernel must be odd and >= 1, got {k}")
+    nd = x_u8.ndim
+    win = (1,) * (nd - 2) + (k, k)
+    pad = ((0, 0),) * (nd - 2) + (((k - 1) // 2,) * 2, ((k - 1) // 2,) * 2)
+    return lax.reduce_window(x_u8, jnp.uint8(init), reducer, win,
+                             (1,) * nd, pad)
+
+
+def erode_u8(x_u8, k: int = 3):
+    """cv2.erode bit-exact: k x k rect-kernel min filter; cv2's default
+    morphology border (+inf) = padding that never wins the min.
+    (..., H, W) u8, odd k."""
+    return _morph_u8(x_u8, k, lax.min, 255)
+
+
+def dilate_u8(x_u8, k: int = 3):
+    """cv2.dilate bit-exact: k x k rect-kernel max filter, -inf border."""
+    return _morph_u8(x_u8, k, lax.max, 0)
+
+
+def apply_mask_morph(mask_u8, spec: str):
+    """``-p morph:<erode|dilate|open|close>[:k]`` on the PERSON region.
+
+    Masks are 0=person / 255=background, so person-erode is a MAX filter
+    of the mask bytes and person-dilate a MIN filter; open/close compose
+    them.  Runs on the model-resolution EMA mask before upscale+blur —
+    a k x k despeckle there costs ~nothing and maps to the frame ROI
+    scaled.  The reference has no morphology (its post-process is
+    resize+blur only, libbackscrub.cc:366-371); this is the opt-in
+    erode/dilate stage the BASELINE.json config list names."""
+    parts = spec.split(":")
+    k = int(parts[1]) if len(parts) > 1 and parts[1] else 3
+    seq = {"erode": "D", "dilate": "E", "open": "DE", "close": "ED"}.get(parts[0])
+    if seq is None:
+        raise ValueError(
+            f"morph op must be erode|dilate|open|close, got {parts[0]!r}")
+    for s in seq:  # D = dilate mask bytes (erodes the person), E = erode
+        mask_u8 = dilate_u8(mask_u8, k) if s == "D" else erode_u8(mask_u8, k)
+    return mask_u8
 
 
 def bgr_to_gray_u8(bgr_u8):

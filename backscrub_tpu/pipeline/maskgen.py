@@ -62,7 +62,8 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
 
 def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
                      u8_exact: bool = False, refine: str = "box",
-                     frame_bgr=None, refine_radius: int = 4):
+                     frame_bgr=None, refine_radius: int = 4,
+                     morph: str = ""):
     """EMA mask (..., oh, ow) u8 -> full-frame mask (..., H, W) u8.
 
     Crop the model-output ROI, upscale to the frame ROI, 5x5 box blur, and
@@ -83,6 +84,11 @@ def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
     """
     o = geo.out_roi
     small = ema_u8[..., o.y:o.y + o.h, o.x:o.x + o.w]
+    if morph:
+        # optional despeckle at model resolution (-p morph:open:3 etc.;
+        # cv2-bit-exact erode/dilate, pipeline/image.py)
+        from .image import apply_mask_morph
+        small = apply_mask_morph(small, morph)
     if refine == "guided":
         if u8_exact:
             raise ValueError(

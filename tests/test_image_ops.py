@@ -335,3 +335,58 @@ def test_pipeline_bg_effects(rng):
     expl = FramePipeline(path, PipelineConfig(**base, bg_pixelate=8))
     out_expl, _ = expl.step(frame, frame)
     np.testing.assert_array_equal(np.asarray(out_priv), np.asarray(out_expl))
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_erode_dilate_bit_exact_vs_cv2(rng, k):
+    x = rng.integers(0, 256, (48, 64), np.uint8)
+    kern = np.ones((k, k), np.uint8)
+    np.testing.assert_array_equal(np.asarray(im.erode_u8(jnp.asarray(x), k)),
+                                  cv2.erode(x, kern))
+    np.testing.assert_array_equal(np.asarray(im.dilate_u8(jnp.asarray(x), k)),
+                                  cv2.dilate(x, kern))
+
+
+def test_mask_morph_person_semantics():
+    """Masks are 0=person: morph:open kills isolated person speckles,
+    morph:close fills pinholes inside the person region."""
+    m = np.full((20, 20), 255, np.uint8)
+    m[10, 10] = 0  # a one-pixel person speckle
+    opened = np.asarray(im.apply_mask_morph(jnp.asarray(m), "open:3"))
+    assert opened[10, 10] == 255 and (opened == 255).all()
+
+    m2 = np.full((20, 20), 255, np.uint8)
+    m2[5:15, 5:15] = 0     # person block
+    m2[9, 9] = 255         # pinhole
+    closed = np.asarray(im.apply_mask_morph(jnp.asarray(m2), "close:3"))
+    assert closed[9, 9] == 0          # hole filled
+    assert closed[5:15, 5:15].max() == 0
+    assert closed[0, 0] == 255        # background untouched
+
+    with pytest.raises(ValueError):
+        im.apply_mask_morph(jnp.asarray(m), "sharpen")
+    with pytest.raises(ValueError):
+        im.apply_mask_morph(jnp.asarray(m), "open:4")
+
+
+def test_pipeline_mask_morph(rng):
+    """mask_morph plumbs through the fused program; erode shrinks (or
+    keeps) the person area vs the unmorphed mask, never grows it."""
+    from conftest import model_path
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+
+    path = model_path("segm_lite_v681.tflite")
+    frame = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    base = dict(width=64, height=48, use_bilateral=False)
+    plain = FramePipeline(path, PipelineConfig(**base))
+    morphed = FramePipeline(path, PipelineConfig(**base, mask_morph="erode:3"))
+    for _ in range(3):
+        _, m_plain = plain.step(frame)
+        _, m_morph = morphed.step(frame)
+    m_plain, m_morph = np.asarray(m_plain), np.asarray(m_morph)
+    # person-erode raises the small-mask bytes pointwise, and the upscale
+    # and box blur are monotone nonneg-linear, so the full-res masks stay
+    # pointwise ordered: morphed >= plain everywhere, strictly somewhere
+    # (unless the frame produced no person at all)
+    assert (m_morph.astype(int) >= m_plain.astype(int)).all()
+    assert m_morph.shape == m_plain.shape
