@@ -1,12 +1,20 @@
 """Pallas TPU kernels for pipeline stages where XLA fusion falls short.
 
-Currently: the bilateral filter (lib/libbackscrub.cc:297 equivalent).  Its
-weights are data-dependent (exp of the local L1 color distance), so XLA
-materializes 13 shifted neighbor reads with separate weight tensors; the
-Pallas kernel keeps the whole 13-tap stencil in VMEM and accumulates
-num/den in registers, one HBM read + one write per pixel.
+1. Bilateral filter (lib/libbackscrub.cc:297 equivalent).  Its weights are
+   data-dependent (exp of the local L1 color distance), so XLA
+   materializes 13 shifted neighbor reads with separate weight tensors;
+   the Pallas kernel keeps the whole 13-tap stencil in VMEM and
+   accumulates num/den in registers, one HBM read + one write per pixel.
 
-The kernel operates channels-leading (3, H, W): lanes = W (aligned to 128
+2. Fused composite + YUYV pack (blend_pack_yuyv): alpha blend
+   (app/deepseg.cc:108-134) + fixed-point RGB->YUV + 4:2:2 pair pack
+   (app/deepseg.cc:87-106) in one VMEM pass.  The jnp path costs ~59 us
+   of the 225 us 720p f32 step (bench --attrib) against a ~10 us
+   HBM-bandwidth floor — XLA materializes several int32 intermediates;
+   the kernel keeps them in registers.  Bit-exact vs
+   alpha_blend_u8 + rgb_to_yuyv (tested).
+
+Kernels operate channels-leading (3, H, W): lanes = W (aligned to 128
 for the model input sizes: 160/256/257-pad), sublanes = H rows.  Reflect
 padding happens outside (cheap, fused by XLA).
 """
@@ -59,3 +67,99 @@ def bilateral5_pallas(rgb_f32, sigma_color: float = 100.0,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(xp)
     return jnp.transpose(out, (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Fused composite + YUYV pack
+
+def _blend_pack_kernel(fr_ref, bg_ref, m_ref, y_ref, c_ref, *,
+                       r_ch, b_ch, c0_is_v):
+    """One row-tile: blend -> YUV fixed point -> 4:2:2 chroma plane.
+
+    fr/bg: (3, TH, W) u8 planes (comp channel order B,G,R); m: (TH, W) u8.
+    Outputs: y (TH, W) and the alternating chroma plane c (TH, W) with
+    c[x] = x even ? c0_pair : c1_pair — XLA interleaves (y, c) to (H, 2W).
+    """
+    m = m_ref[0].astype(jnp.int32) if False else m_ref[...].astype(jnp.int32)
+    im = 255 - m
+
+    def blend(ch):
+        n = bg_ref[ch].astype(jnp.int32) * m + fr_ref[ch].astype(jnp.int32) * im
+        # exact n // 255 for n in [0, 65025]: (n + 1 + (n >> 8)) >> 8
+        return (n + 1 + (n >> 8)) >> 8
+
+    comp = [blend(0), blend(1), blend(2)]
+    # r/b role assignment is static: correct_colors=False feeds BGR into
+    # the RGB2YUV math (the reference's quirk, image.py rgb_to_yuyv docs)
+    r = comp[r_ch]
+    g = comp[1]
+    b = comp[b_ch]
+    y = (r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14
+    u = jnp.clip(((b - y) * 8061 + (128 << 14) + (1 << 13)) >> 14, 0, 255)
+    v = jnp.clip(((r - y) * 14369 + (128 << 14) + (1 << 13)) >> 14, 0, 255)
+    # pair-average chroma with truncating /2 (deepseg.cc:97-104), built as
+    # one alternating plane via lane rolls (wrap lanes land on unused
+    # slots): out byte 2x+1 carries c0_avg(pair) at even x, c1_avg at odd
+    c0, c1 = (v, u) if c0_is_v else (u, v)
+    at_even = (c0 + jnp.roll(c0, -1, axis=-1)) >> 1  # (c0[x]+c0[x+1])/2
+    at_odd = (jnp.roll(c1, 1, axis=-1) + c1) >> 1    # (c1[x-1]+c1[x])/2
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    c = jnp.where((lane & 1) == 0, at_even, at_odd)
+    y_ref[...] = y.astype(jnp.uint8)
+    c_ref[...] = c.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("chroma_order",
+                                             "correct_colors", "interpret"))
+def blend_pack_yuyv(frame_bgr, bg_bgr, mask, chroma_order: str = "reference",
+                    correct_colors: bool = False, interpret: bool = False):
+    """(..., H, W, 3) frame/bg u8 + (..., H, W) mask u8 -> (..., H, 2W)
+    YUYV bytes, bit-exact vs alpha_blend_u8 + rgb_to_yuyv + reshape (the
+    jnp path).  Leading batch dims flatten into rows (each output row
+    depends on one input row only).
+
+    ``interpret=True`` runs the Pallas interpreter (CPU tests); the
+    pipeline gates the compiled kernel to TPU like the bilateral."""
+    lead = frame_bgr.shape[:-3]
+    hh, w = frame_bgr.shape[-3], frame_bgr.shape[-2]
+    if lead:
+        out = blend_pack_yuyv(
+            frame_bgr.reshape((-1,) + frame_bgr.shape[-2:]),
+            bg_bgr.reshape((-1,) + bg_bgr.shape[-2:]),
+            mask.reshape((-1, mask.shape[-1])),
+            chroma_order=chroma_order, correct_colors=correct_colors,
+            interpret=interpret)
+        return out.reshape(lead + (hh, 2 * w))
+    h = hh
+    fr = jnp.transpose(frame_bgr, (2, 0, 1))
+    bg = jnp.transpose(bg_bgr, (2, 0, 1))
+    th = h
+    for cand in (128, 120, 96, 80, 64, 48, 32, 16, 8):
+        if h % cand == 0:
+            th = cand
+            break
+    grid = (h // th,)
+    r_ch, b_ch = (2, 0) if correct_colors else (0, 2)
+    y, c = pl.pallas_call(
+        functools.partial(_blend_pack_kernel, r_ch=r_ch, b_ch=b_ch,
+                          c0_is_v=(chroma_order == "reference")),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8),
+                   jax.ShapeDtypeStruct((h, w), jnp.uint8)],
+        interpret=interpret,
+    )(fr, bg, mask)
+    return jnp.stack([y, c], axis=-1).reshape(h, 2 * w)

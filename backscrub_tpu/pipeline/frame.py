@@ -47,6 +47,10 @@ class PipelineConfig:
     mask_morph: str = ""             # -p morph:<erode|dilate|open|close>[:k]
                                      # — cv2-bit-exact morphology on the
                                      # person region at model resolution
+    fused_pack: bool = True          # Pallas fused blend+YUYV kernel on TPU
+                                     # (bit-exact; ~2.8x the jnp pack stage)
+                                     # when output is plain same-geometry
+                                     # YUYV with no flips; False = always jnp
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -238,6 +242,23 @@ class FramePipeline:
                 bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
 
             # --- composite + output conversion (app/deepseg.cc:661-681)
+            if (cfg.fused_pack and cfg.output_format == "yuyv"
+                    and not flip_h and not flip_v
+                    and self.out_geo == (cfg.height, cfg.width)):
+                from .maskgen import _on_tpu
+                if _on_tpu():
+                    # Pallas fused blend + fixed-point YUV + 4:2:2 pack:
+                    # bit-exact vs the jnp path below, one VMEM pass
+                    # (ops/pallas_kernels.py; handles the leading stream
+                    # axis by mapping rows)
+                    from ..ops.pallas_kernels import blend_pack_yuyv
+                    bgb = (jnp.broadcast_to(bg_frame, frame.shape)
+                           if bg_frame.ndim < frame.ndim else bg_frame)
+                    yuyv = blend_pack_yuyv(
+                        frame, bgb, mask,
+                        chroma_order=cfg.chroma_order,
+                        correct_colors=cfg.correct_colors)
+                    return yuyv, mask, new_ema
             comp = alpha_blend_u8(bg_frame, frame, mask)
             return finish(comp, mask, new_ema)
 

@@ -390,3 +390,38 @@ def test_pipeline_mask_morph(rng):
     # (unless the frame produced no person at all)
     assert (m_morph.astype(int) >= m_plain.astype(int)).all()
     assert m_morph.shape == m_plain.shape
+
+
+@pytest.mark.parametrize("order", ["reference", "yuy2"])
+@pytest.mark.parametrize("cc", [False, True])
+def test_blend_pack_yuyv_kernel_bit_exact(rng, order, cc):
+    """The Pallas fused blend+pack kernel (interpret mode on CPU) must be
+    bit-exact vs alpha_blend_u8 + rgb_to_yuyv for both chroma orders and
+    both color conventions, including odd geometries."""
+    from backscrub_tpu.ops.pallas_kernels import blend_pack_yuyv
+    for (h, w) in [(48, 64), (96, 160), (120, 128)]:
+        fr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        bg = rng.integers(0, 256, (h, w, 3), np.uint8)
+        m = rng.integers(0, 256, (h, w), np.uint8)
+        comp = im.alpha_blend_u8(jnp.asarray(bg), jnp.asarray(fr),
+                                 jnp.asarray(m))
+        src = comp[..., ::-1] if cc else comp
+        ref = np.asarray(im.rgb_to_yuyv(src, chroma_order=order)
+                         ).reshape(h, 2 * w)
+        got = np.asarray(blend_pack_yuyv(
+            jnp.asarray(fr), jnp.asarray(bg), jnp.asarray(m),
+            chroma_order=order, correct_colors=cc, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+    # batched: leading stream axis flattens into rows
+    S, h, w = 3, 48, 64
+    fr = rng.integers(0, 256, (S, h, w, 3), np.uint8)
+    bg = rng.integers(0, 256, (S, h, w, 3), np.uint8)
+    m = rng.integers(0, 256, (S, h, w), np.uint8)
+    comp = im.alpha_blend_u8(jnp.asarray(bg), jnp.asarray(fr), jnp.asarray(m))
+    src = comp[..., ::-1] if cc else comp
+    ref = np.asarray(im.rgb_to_yuyv(src, chroma_order=order))
+    ref = ref.reshape(S, h, 2 * w)
+    got = np.asarray(blend_pack_yuyv(
+        jnp.asarray(fr), jnp.asarray(bg), jnp.asarray(m),
+        chroma_order=order, correct_colors=cc, interpret=True))
+    np.testing.assert_array_equal(got, ref)
