@@ -80,7 +80,7 @@ def _blend_pack_kernel(fr_ref, bg_ref, m_ref, y_ref, c_ref, *,
     Outputs: y (TH, W) and the alternating chroma plane c (TH, W) with
     c[x] = x even ? c0_pair : c1_pair — XLA interleaves (y, c) to (H, 2W).
     """
-    m = m_ref[0].astype(jnp.int32) if False else m_ref[...].astype(jnp.int32)
+    m = m_ref[...].astype(jnp.int32)
     im = 255 - m
 
     def blend(ch):
@@ -163,3 +163,86 @@ def blend_pack_yuyv(frame_bgr, bg_bgr, mask, chroma_order: str = "reference",
         interpret=interpret,
     )(fr, bg, mask)
     return jnp.stack([y, c], axis=-1).reshape(h, 2 * w)
+
+
+# ---------------------------------------------------------------------------
+# Fused composite + 4:2:0 pack (NV12 / I420)
+
+def _blend_420_kernel(fr_ref, bg_ref, m_ref, y_ref, uv_ref):
+    """One row-tile: blend -> BT.601 video-range Y (TH, W) + NV12
+    interleaved chroma row (TH/2, W) sampled at each 2x2 block's top-left
+    pixel (cv2 COLOR_BGR2YUV_I420 semantics, image.py _bt601_yuv420)."""
+    from ..pipeline.image import (_ENC_CRY, _ENC_CGY, _ENC_CBY, _ENC_CRU,
+                                  _ENC_CGU, _ENC_CBU, _ENC_CGV, _ENC_CBV,
+                                  _ENC_SHIFT)
+    m = m_ref[...].astype(jnp.int32)
+    im = 255 - m
+
+    def blend(ch):
+        n = bg_ref[ch].astype(jnp.int32) * m + fr_ref[ch].astype(jnp.int32) * im
+        return (n + 1 + (n >> 8)) >> 8  # exact n // 255 for n <= 65025
+
+    b, g, r = blend(0), blend(1), blend(2)
+    half = 1 << (_ENC_SHIFT - 1)
+    y = (r * _ENC_CRY + g * _ENC_CGY + b * _ENC_CBY
+         + half + (16 << _ENC_SHIFT)) >> _ENC_SHIFT
+    y_ref[...] = jnp.clip(y, 0, 255).astype(jnp.uint8)
+    # chroma: even source rows only (top-left of each 2x2 block)
+    re, ge, be = r[0::2], g[0::2], b[0::2]
+    u = jnp.clip((re * _ENC_CRU + ge * _ENC_CGU + be * _ENC_CBU
+                  + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT, 0, 255)
+    v = jnp.clip((re * _ENC_CBU + ge * _ENC_CGV + be * _ENC_CBV
+                  + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT, 0, 255)
+    # NV12 row [U0, V0, U2, V2, ...]: U at even lanes (its own column),
+    # V at odd lanes from the column to the left (lane roll)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
+    uv = jnp.where((lane & 1) == 0, u, jnp.roll(v, 1, axis=-1))
+    uv_ref[...] = uv.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blend_pack_420(frame_bgr, bg_bgr, mask, interpret: bool = False):
+    """(..., H, W, 3) frame/bg u8 + (..., H, W) mask u8 -> (Y (..., H, W),
+    UV (..., H/2, W)) u8, bit-exact vs alpha_blend_u8 + _bt601_yuv420.
+    NV12 = concat([Y, UV], rows); I420 takes UV[..., 0::2] / [..., 1::2]."""
+    lead = frame_bgr.shape[:-3]
+    h, w = frame_bgr.shape[-3], frame_bgr.shape[-2]
+    if lead:
+        y, uv = blend_pack_420(
+            frame_bgr.reshape((-1,) + frame_bgr.shape[-2:]),
+            bg_bgr.reshape((-1,) + bg_bgr.shape[-2:]),
+            mask.reshape((-1, mask.shape[-1])), interpret=interpret)
+        # NOTE: row-flattened chroma pairs rows (2k, 2k+1) of the FLAT
+        # array; with even per-frame H these pairs never straddle frames
+        return (y.reshape(lead + (h, w)),
+                uv.reshape(lead + (h // 2, w)))
+    fr = jnp.transpose(frame_bgr, (2, 0, 1))
+    bg = jnp.transpose(bg_bgr, (2, 0, 1))
+    th = h
+    for cand in (128, 120, 96, 80, 64, 48, 32, 16, 8, 4, 2):
+        if h % cand == 0:
+            th = cand
+            break
+    grid = (h // th,)
+    y, uv = pl.pallas_call(
+        _blend_420_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, w), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th // 2, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8),
+                   jax.ShapeDtypeStruct((h // 2, w), jnp.uint8)],
+        interpret=interpret,
+    )(fr, bg, mask)
+    return y, uv

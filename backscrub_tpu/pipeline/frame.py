@@ -242,23 +242,38 @@ class FramePipeline:
                 bg_frame = jnp.clip(jnp.round(bg_f), 0, 255).astype(jnp.uint8)
 
             # --- composite + output conversion (app/deepseg.cc:661-681)
-            if (cfg.fused_pack and cfg.output_format == "yuyv"
+            if (cfg.fused_pack
+                    and cfg.output_format in ("yuyv", "nv12", "i420")
                     and not flip_h and not flip_v
                     and self.out_geo == (cfg.height, cfg.width)):
                 from .maskgen import _on_tpu
                 if _on_tpu():
-                    # Pallas fused blend + fixed-point YUV + 4:2:2 pack:
+                    # Pallas fused blend + fixed-point YUV + pack:
                     # bit-exact vs the jnp path below, one VMEM pass
-                    # (ops/pallas_kernels.py; handles the leading stream
-                    # axis by mapping rows)
-                    from ..ops.pallas_kernels import blend_pack_yuyv
+                    # (ops/pallas_kernels.py; leading stream axes flatten
+                    # into rows)
                     bgb = (jnp.broadcast_to(bg_frame, frame.shape)
                            if bg_frame.ndim < frame.ndim else bg_frame)
-                    yuyv = blend_pack_yuyv(
-                        frame, bgb, mask,
-                        chroma_order=cfg.chroma_order,
-                        correct_colors=cfg.correct_colors)
-                    return yuyv, mask, new_ema
+                    if cfg.output_format == "yuyv":
+                        from ..ops.pallas_kernels import blend_pack_yuyv
+                        yuyv = blend_pack_yuyv(
+                            frame, bgb, mask,
+                            chroma_order=cfg.chroma_order,
+                            correct_colors=cfg.correct_colors)
+                        return yuyv, mask, new_ema
+                    from ..ops.pallas_kernels import blend_pack_420
+                    yy, uv = blend_pack_420(frame, bgb, mask)
+                    if cfg.output_format == "nv12":
+                        return (jnp.concatenate([yy, uv], axis=-2),
+                                mask, new_ema)
+                    lead = yy.shape[:-2]
+                    hh, ww = yy.shape[-2:]
+                    flat = jnp.concatenate(
+                        [yy.reshape(lead + (hh * ww,)),
+                         uv[..., 0::2].reshape(lead + (hh * ww // 4,)),
+                         uv[..., 1::2].reshape(lead + (hh * ww // 4,))],
+                        axis=-1)
+                    return flat, mask, new_ema
             comp = alpha_blend_u8(bg_frame, frame, mask)
             return finish(comp, mask, new_ema)
 

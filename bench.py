@@ -529,22 +529,26 @@ def run_parity_check():
         worst = min(worst, score)
         print(f"  {name[:52]:54s} IoU {score:.4f}", file=sys.stderr)
     # fused Pallas blend+pack identity on the real device: pipelines with
-    # the kernel on vs off must emit identical YUYV bytes
+    # the kernels on vs off must emit identical bytes, per output format
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
     f = cv2.resize(frame, (320, 240))
     bgf = np.roll(f, 7, axis=1).copy()
-    p_on = FramePipeline(resolve_model_path("segm_lite_v681.tflite"),
-                         PipelineConfig(width=320, height=240,
-                                        fused_pack=True))
-    p_off = FramePipeline(resolve_model_path("segm_lite_v681.tflite"),
-                          PipelineConfig(width=320, height=240,
-                                         fused_pack=False))
-    for _ in range(2):
-        y_on, _ = p_on.step(f, bgf)
-        y_off, _ = p_off.step(f, bgf)
-    pack_ok = bool((np.asarray(y_on) == np.asarray(y_off)).all())
-    print(f"  fused blend+pack kernel identical to jnp path: {pack_ok}",
-          file=sys.stderr)
+    mp = resolve_model_path("segm_lite_v681.tflite")
+    pack_ok = True
+    for fmt in ("yuyv", "nv12", "i420"):
+        p_on = FramePipeline(mp, PipelineConfig(width=320, height=240,
+                                                output_format=fmt,
+                                                fused_pack=True))
+        p_off = FramePipeline(mp, PipelineConfig(width=320, height=240,
+                                                 output_format=fmt,
+                                                 fused_pack=False))
+        for _ in range(2):
+            y_on, _ = p_on.step(f, bgf)
+            y_off, _ = p_off.step(f, bgf)
+        ok = bool((np.asarray(y_on) == np.asarray(y_off)).all())
+        pack_ok = pack_ok and ok
+        print(f"  fused blend+pack kernel identical to jnp path "
+              f"({fmt}): {ok}", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
                       "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
     sys.exit(0 if worst >= 0.99 and pack_ok else 1)

@@ -425,3 +425,28 @@ def test_blend_pack_yuyv_kernel_bit_exact(rng, order, cc):
         jnp.asarray(fr), jnp.asarray(bg), jnp.asarray(m),
         chroma_order=order, correct_colors=cc, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_blend_pack_420_kernel_bit_exact(rng):
+    """The fused 4:2:0 kernel (interpret mode) must reproduce
+    alpha_blend_u8 + bgr_to_nv12 / bgr_to_i420 byte for byte, single and
+    batched."""
+    from backscrub_tpu.ops.pallas_kernels import blend_pack_420
+    from backscrub_tpu.pipeline.image import bgr_to_i420, bgr_to_nv12
+    for shape in [(48, 64), (30, 42), (3, 48, 64)]:
+        fr = rng.integers(0, 256, shape + (3,), np.uint8)
+        bg = rng.integers(0, 256, shape + (3,), np.uint8)
+        m = rng.integers(0, 256, shape, np.uint8)
+        comp = im.alpha_blend_u8(jnp.asarray(bg), jnp.asarray(fr),
+                                 jnp.asarray(m))
+        y, uv = blend_pack_420(jnp.asarray(fr), jnp.asarray(bg),
+                               jnp.asarray(m), interpret=True)
+        got_nv12 = np.concatenate([np.asarray(y), np.asarray(uv)], axis=-2)
+        np.testing.assert_array_equal(got_nv12, np.asarray(bgr_to_nv12(comp)))
+        h, w = shape[-2:]
+        lead = shape[:-2]
+        u = np.asarray(uv)[..., 0::2].reshape(lead + (h * w // 4,))
+        v = np.asarray(uv)[..., 1::2].reshape(lead + (h * w // 4,))
+        got_i420 = np.concatenate(
+            [np.asarray(y).reshape(lead + (h * w,)), u, v], axis=-1)
+        np.testing.assert_array_equal(got_i420, np.asarray(bgr_to_i420(comp)))
