@@ -281,15 +281,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     if cfg["int8"]:
         # Measured on TPU v5e (BENCH_DETAILS.json, README "int8 verdict",
-        # tools/probe_int8.py): weight-only int8 runs ~0.95x the f32
-        # pipeline and ~0.6x bf16 (on-the-fly dequant dominates; these
-        # models' weights already fit in VMEM), and at the compute level
-        # s8xs8->s32 convs beat f32 HIGHEST 2.2x but still lose to bf16 by
-        # 1.25x — so int8 can't beat the shipped fast path.  Kept for
-        # memory-constrained embedding.
-        print("Warning: --int8 is slower than f32/bf16 on this TPU "
-              "generation (see README); use --bf16 for the fast path",
-              file=sys.stderr)
+        # tools/probe_int8.py): weight-only int8 runs ~1.0x the f32
+        # pipeline and ~0.7x bf16 (on-the-fly dequant costs what the
+        # weight-traffic saves; these models' weights already fit in
+        # VMEM), and at the compute level s8xs8->s32 convs beat f32
+        # HIGHEST 2.2x but still lose to bf16 by 1.25x — so int8 can't
+        # beat the shipped fast path.  Kept for memory-constrained
+        # embedding.
+        print("Warning: --int8 is no faster than f32 and slower than bf16 "
+              "on this TPU generation (see README); use --bf16 for the "
+              "fast path", file=sys.stderr)
     pipe = FramePipeline(
         model_path, pcfg,
         compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,

@@ -94,15 +94,23 @@ def measure_scan(step, params, frames_stack, bgs_stack, ema0, iters=ITERS):
     _ = int(small(params, frames_stack, bgs_stack, ema0)[1])  # compile
     _ = int(big(params, frames_stack, bgs_stack, ema0)[1])
     est = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         _ = int(small(params, frames_stack, bgs_stack, ema0)[1])
         t_small = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = int(big(params, frames_stack, bgs_stack, ema0)[1])
         t_big = time.perf_counter() - t0
-        est.append((t_big - t_small) / (iters - k_small) * 1e3)
-    est = [max(e, 1e-6) for e in est]
+        e = (t_big - t_small) / (iters - k_small) * 1e3
+        # a tunnel hiccup during the SMALL run can make the difference
+        # non-positive — that's noise, not a measurement; discard it
+        if e > 0:
+            est.append(e)
+        if len(est) >= 3:
+            break
+    if not est:
+        raise RuntimeError("two-point fit failed: tunnel jitter exceeded "
+                           "the measured work on every repetition")
     return min(est), float(np.median(est))
 
 
