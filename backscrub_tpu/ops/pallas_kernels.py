@@ -170,8 +170,9 @@ def blend_pack_yuyv(frame_bgr, bg_bgr, mask, chroma_order: str = "reference",
 
 def _blend_420_kernel(fr_ref, bg_ref, m_ref, y_ref, uv_ref):
     """One row-tile: blend -> BT.601 video-range Y (TH, W) + NV12
-    interleaved chroma row (TH/2, W) sampled at each 2x2 block's top-left
-    pixel (cv2 COLOR_BGR2YUV_I420 semantics, image.py _bt601_yuv420)."""
+    interleaved chroma rows (TH, W; wrapper keeps even rows = each 2x2
+    block's top-left sample, cv2 COLOR_BGR2YUV_I420 semantics,
+    image.py _bt601_yuv420)."""
     from ..pipeline.image import (_ENC_CRY, _ENC_CGY, _ENC_CBY, _ENC_CRU,
                                   _ENC_CGU, _ENC_CBU, _ENC_CGV, _ENC_CBV,
                                   _ENC_SHIFT)
@@ -187,11 +188,12 @@ def _blend_420_kernel(fr_ref, bg_ref, m_ref, y_ref, uv_ref):
     y = (r * _ENC_CRY + g * _ENC_CGY + b * _ENC_CBY
          + half + (16 << _ENC_SHIFT)) >> _ENC_SHIFT
     y_ref[...] = jnp.clip(y, 0, 255).astype(jnp.uint8)
-    # chroma: even source rows only (top-left of each 2x2 block)
-    re, ge, be = r[0::2], g[0::2], b[0::2]
-    u = jnp.clip((re * _ENC_CRU + ge * _ENC_CGU + be * _ENC_CBU
+    # chroma at full height (Mosaic can't lower a strided row subsample;
+    # the wrapper drops odd rows in XLA — only even rows are consumed,
+    # matching the 2x2 top-left sampling)
+    u = jnp.clip((r * _ENC_CRU + g * _ENC_CGU + b * _ENC_CBU
                   + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT, 0, 255)
-    v = jnp.clip((re * _ENC_CBU + ge * _ENC_CGV + be * _ENC_CBV
+    v = jnp.clip((r * _ENC_CBU + g * _ENC_CGV + b * _ENC_CBV
                   + half + (128 << _ENC_SHIFT)) >> _ENC_SHIFT, 0, 255)
     # NV12 row [U0, V0, U2, V2, ...]: U at even lanes (its own column),
     # V at odd lanes from the column to the left (lane roll)
@@ -219,7 +221,7 @@ def blend_pack_420(frame_bgr, bg_bgr, mask, interpret: bool = False):
     fr = jnp.transpose(frame_bgr, (2, 0, 1))
     bg = jnp.transpose(bg_bgr, (2, 0, 1))
     th = h
-    for cand in (128, 120, 96, 80, 64, 48, 32, 16, 8, 4, 2):
+    for cand in (128, 120, 96, 80, 64, 48, 32, 16, 8):
         if h % cand == 0:
             th = cand
             break
@@ -238,11 +240,11 @@ def blend_pack_420(frame_bgr, bg_bgr, mask, interpret: bool = False):
         out_specs=[
             pl.BlockSpec((th, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((th // 2, w), lambda i: (i, 0),
+            pl.BlockSpec((th, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.uint8),
-                   jax.ShapeDtypeStruct((h // 2, w), jnp.uint8)],
+                   jax.ShapeDtypeStruct((h, w), jnp.uint8)],
         interpret=interpret,
     )(fr, bg, mask)
-    return y, uv
+    return y, uv[0::2]
