@@ -33,6 +33,8 @@ _ERRORS = {
 
 
 class _BsjpegInfo(ctypes.Structure):
+    # ctypes mirror of bsjpeg_info_t — canonical layout: native/bsjpeg.h
+    # (the C sources include that header; keep field order in sync with it)
     _fields_ = [
         ("width", ctypes.c_int32), ("height", ctypes.c_int32),
         ("ncomp", ctypes.c_int32),

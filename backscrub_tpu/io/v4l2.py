@@ -86,9 +86,11 @@ def fourcc(code: str) -> int:
 
 
 # bytes per pixel numerator/denominator per supported output format
-# (MJPG is compressed: framesize is a per-frame maximum, not fixed)
+# (MJPG is compressed: framesize is a per-frame maximum, not fixed — 4
+# bytes/px headroom so jpegq:95+/high-entropy frames aren't rejected;
+# must match bsio.cc's MJPG sizeimage)
 _FORMAT_BYTES = {"YUYV": (2, 1), "NV12": (3, 2), "YU12": (3, 2),
-                 "BGR3": (3, 1), "RGB3": (3, 1), "MJPG": (2, 1)}
+                 "BGR3": (3, 1), "RGB3": (3, 1), "MJPG": (4, 1)}
 
 
 class LoopbackSink:
@@ -125,10 +127,18 @@ class LoopbackSink:
 
     def write_bytes(self, data: bytes) -> None:
         """Variable-length frame write (compressed formats, e.g. MJPG;
-        sizeimage set at init is the per-frame maximum)."""
+        sizeimage set at init is the per-frame maximum).
+
+        A frame exceeding sizeimage is DROPPED with a warning rather than
+        raised: one pathological high-entropy frame must not kill a live
+        stream mid-run (the kernel would reject the oversized write anyway;
+        consumers see a skipped frame, same as a capture-side drop)."""
         if len(data) > self.framesize:
-            raise ValueError(f"frame is {len(data)} bytes > sizeimage "
-                             f"{self.framesize}")
+            import sys
+            print(f"warning: dropping {len(data)}-byte compressed frame "
+                  f"> sizeimage {self.framesize} (raise via larger geometry "
+                  "or lower -p jpegq)", file=sys.stderr)
+            return
         buf = np.frombuffer(data, np.uint8)
         rc = self.lib.bsio_loopback_write(self.fd, buf.ctypes.data, buf.nbytes)
         if rc < 0:

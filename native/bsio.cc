@@ -67,9 +67,11 @@ int bsio_loopback_init_fmt(const char *device, int width, int height,
       sizeimage = width * height * 3;
       break;
     case V4L2_PIX_FMT_MJPEG:
-      // compressed: sizeimage is the per-frame maximum; JFIF is full-range
+      // compressed: sizeimage is the per-frame maximum; JFIF is full-range.
+      // 4 bytes/px headroom — high-quality (-p jpegq:95+) or high-entropy
+      // frames can exceed 2 bytes/px and must not be truncated.
       bytesperline = 0;
-      sizeimage = width * height * 2;
+      sizeimage = width * height * 4;
       colorspace = V4L2_COLORSPACE_JPEG;
       break;
     default:

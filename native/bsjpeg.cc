@@ -28,26 +28,9 @@
 #include <emmintrin.h>
 #endif
 
+#include "bsjpeg.h"  // shared struct layout / error codes / prototypes
+
 #define BSJPEG_API extern "C" __attribute__((visibility("default")))
-
-// ---- error codes -----------------------------------------------------------
-enum {
-  BSJPEG_OK = 0,
-  BSJPEG_ERR_TRUNCATED = -1,   // ran off the end of the buffer
-  BSJPEG_ERR_NOT_JPEG = -2,    // no SOI
-  BSJPEG_ERR_UNSUPPORTED = -3, // progressive / arithmetic / 12-bit / CMYK
-  BSJPEG_ERR_CORRUPT = -4,     // malformed segment / bad Huffman code
-  BSJPEG_ERR_BADARG = -5,      // null pointers, mismatched info
-};
-
-struct bsjpeg_info_t {
-  int32_t width, height;       // image dims (SOF)
-  int32_t ncomp;               // 1 or 3
-  int32_t h[3], v[3];          // sampling factors per component
-  int32_t blocks_w[3], blocks_h[3];  // coefficient array dims (MCU-padded)
-  uint16_t qtab[3][64];        // per-component dequant table, natural order
-  int32_t restart_interval;    // DRI (MCUs), 0 = none
-};
 
 // zigzag index -> natural index
 static const uint8_t kZigzag[64] = {
@@ -789,10 +772,8 @@ void emit_dqt(BitWriter& bw, int id, const uint16_t* qtab_natural) {
   bw.put_byte(0xDB);
   bw.put16(2 + 1 + 64);
   bw.put_byte((uint8_t)id);  // Pq=0 (8-bit), Tq=id
-  for (int i = 0; i < 64; i++) {
-    uint16_t v = qtab_natural[kZigzag[i]];
-    bw.put_byte((uint8_t)(v > 255 ? 255 : v));
-  }
+  for (int i = 0; i < 64; i++)
+    bw.put_byte((uint8_t)qtab_natural[kZigzag[i]]);
 }
 
 void emit_dht(BitWriter& bw, int cls, int id, const uint8_t bits[17],
@@ -829,6 +810,12 @@ static int64_t encode_impl(const bsjpeg_info_t* info, const int16_t* coef0,
     if (info->h[c] > hmax) hmax = info->h[c];
     if (info->v[c] > vmax) vmax = info->v[c];
   }
+  // emit_dqt writes 8-bit (Pq=0) tables; a 16-bit source table (a decoded
+  // stream that used Pq=1) would be silently altered by clamping — reject
+  // instead so transcoders see the incompatibility.
+  for (int c = 0; c < (nc == 3 ? 2 : 1); c++)
+    for (int i = 0; i < 64; i++)
+      if (info->qtab[c][i] > 255) return BSJPEG_ERR_BADARG;
   int mcus_x = (info->width + 8 * hmax - 1) / (8 * hmax);
   int mcus_y = (info->height + 8 * vmax - 1) / (8 * vmax);
   for (int c = 0; c < nc; c++) {

@@ -5,20 +5,7 @@
 #include <cstdlib>
 #include <vector>
 
-struct bsjpeg_info_t {
-  int32_t width, height, ncomp;
-  int32_t h[3], v[3];
-  int32_t blocks_w[3], blocks_h[3];
-  uint16_t qtab[3][64];
-  int32_t restart_interval;
-};
-extern "C" int bsjpeg_parse(const uint8_t*, int64_t, bsjpeg_info_t*);
-extern "C" int bsjpeg_decode(const uint8_t*, int64_t, bsjpeg_info_t*,
-                             int16_t*, int16_t*, int16_t*);
-extern "C" int64_t bsjpeg_encode(const bsjpeg_info_t*, const int16_t*,
-                                 const int16_t*, const int16_t*, uint8_t*, int64_t);
-extern "C" int64_t bsjpeg_encode_zz(const bsjpeg_info_t*, const int16_t*,
-                                    const int16_t*, const int16_t*, uint8_t*, int64_t);
+#include "../native/bsjpeg.h"  // shared ABI: struct layout + prototypes
 
 static uint64_t s = 0xdeadbeefcafeULL;
 static uint64_t rnd() { s ^= s<<13; s ^= s>>7; s ^= s<<17; return s; }
