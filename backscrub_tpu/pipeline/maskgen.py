@@ -150,6 +150,7 @@ class MaskGen:
                  fused: bool = True,
                  u8_exact_post: Optional[bool] = None,
                  refine: str = "box",
+                 morph: str = "",
                  quantize=None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
@@ -184,6 +185,13 @@ class MaskGen:
         if refine not in ("box", "guided"):
             raise ValueError(f"refine must be 'box' or 'guided', got {refine!r}")
         self.refine = refine
+        if morph:
+            # fail at construction, not first trace (-p morph:* contract)
+            op = morph.split(":")[0]
+            if op not in ("erode", "dilate", "open", "close"):
+                raise ValueError(
+                    f"morph op must be erode|dilate|open|close, got {op!r}")
+        self.morph = morph
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
         self.ema = jnp.full((oh, ow), 255, jnp.uint8)
         self._dbg(f"loaded {self.model_path} ({self.spec.kind}, "
@@ -201,7 +209,8 @@ class MaskGen:
             new_ema = ema_update(ema, val)
             mask = postprocess_mask(new_ema, self.geo, precision=self.precision,
                                     u8_exact=self.u8_exact_post,
-                                    refine=self.refine, frame_bgr=frame)
+                                    refine=self.refine, frame_bgr=frame,
+                                    morph=self.morph)
             return mask, new_ema
 
         self._step = jax.jit(_step, donate_argnums=(2,))
@@ -223,7 +232,8 @@ class MaskGen:
         new_ema = ema_update(ema, val)
         return postprocess_mask(new_ema, self.geo, precision=self.precision,
                                 u8_exact=self.u8_exact_post,
-                                refine=self.refine, frame_bgr=frame), new_ema
+                                refine=self.refine, frame_bgr=frame,
+                                morph=self.morph), new_ema
 
     def process(self, frame_bgr_u8) -> np.ndarray:
         """Frame (H, W, 3) BGR u8 -> mask (H, W) u8. bs_maskgen_process equivalent."""
@@ -284,7 +294,39 @@ def _c_debug_callback(addr: int, ctx_addr: int) -> Callable[[str], None]:
     return lambda msg: fn(ctx, str(msg).encode("utf-8", "replace"))
 
 
+def parse_capi_options(options: str) -> dict:
+    """Parse the ``bs_maskgen_new_ex`` options string into MaskGen kwargs.
+
+    Comma-separated tokens mirroring the CLI's ``-p`` namespace so native
+    consumers reach the same beyond-parity pipeline the Python CLI does:
+
+    - ``refine:guided`` — edge-aware guided-filter mask refinement
+    - ``morph:<erode|dilate|open|close>[:k]`` — mask morphology
+    - ``u8exact`` — byte-exact OpenCV u8 post stages
+    - ``no-bilateral`` — skip the bilateral prefilter
+
+    Unknown tokens raise (surfaced as a NULL context + ondebug message
+    through the C ABI rather than a silently ignored option).
+    """
+    kw = {}
+    for tok in filter(None, (t.strip() for t in (options or "").split(","))):
+        if tok == "u8exact":
+            kw["u8_exact_post"] = True
+        elif tok == "no-bilateral":
+            kw["use_bilateral"] = False
+        elif tok.startswith("refine:"):
+            kw["refine"] = tok.split(":", 1)[1]
+        elif tok.startswith("morph:"):
+            kw["morph"] = tok.split(":", 1)[1]
+        else:
+            raise ValueError(
+                f"unknown maskgen option {tok!r}; supported: refine:guided, "
+                "morph:<erode|dilate|open|close>[:k], u8exact, no-bilateral")
+    return kw
+
+
 def maskgen_for_capi(model: str, width: int, height: int,
+                     options: str = "",
                      ondebug_addr: int = 0, onprep_addr: int = 0,
                      oninfer_addr: int = 0, onmask_addr: int = 0,
                      caller_ctx_addr: int = 0) -> MaskGen:
@@ -294,10 +336,12 @@ def maskgen_for_capi(model: str, width: int, height: int,
     (onprep/oninfer) is non-null the staged (fused=False) pipeline is
     selected so all three hooks fire per frame in reference order
     (lib/libbackscrub.cc:303,311,363).  With only onmask/ondebug set, the
-    fully fused single-dispatch path is kept.
+    fully fused single-dispatch path is kept.  ``options`` carries the
+    ``-p``-namespace settings (see parse_capi_options) so the C surface
+    is not a poorer pipeline than the Python CLI.
     """
     staged = bool(onprep_addr or oninfer_addr)
-    kw = {}
+    kw = parse_capi_options(options)
     if onprep_addr:
         kw["onprep"] = _c_stage_callback(onprep_addr, caller_ctx_addr)
     if oninfer_addr:

@@ -42,6 +42,21 @@ void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
                      void (*onprep)(void *ctx), void (*oninfer)(void *ctx),
                      void (*onmask)(void *ctx), void *caller_ctx);
 
+/* Extended constructor: identical to bs_maskgen_new plus an `options`
+ * string — comma-separated tokens mirroring the CLI -p namespace, so a
+ * native consumer reaches the full pipeline:
+ *   "refine:guided"                       edge-aware mask refinement
+ *   "morph:<erode|dilate|open|close>[:k]" mask morphology (odd k, def 3)
+ *   "u8exact"                             byte-exact OpenCV u8 post stages
+ *   "no-bilateral"                        skip the bilateral prefilter
+ * e.g. "refine:guided,morph:open:3".  NULL or "" = defaults.  An unknown
+ * token fails construction (NULL return + ondebug message). */
+void *bs_maskgen_new_ex(const char *modelname, size_t threads, size_t width,
+                        size_t height, const char *options,
+                        void (*ondebug)(void *ctx, const char *msg),
+                        void (*onprep)(void *ctx), void (*oninfer)(void *ctx),
+                        void (*onmask)(void *ctx), void *caller_ctx);
+
 void bs_maskgen_delete(void *context);
 
 /* frame: height*width*3 BGR u8; mask out: height*width u8

@@ -99,11 +99,16 @@ const char *bs_tensorflow_version(void) {
   return buf;
 }
 
-void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
-                     size_t height,
-                     void (*ondebug)(void *, const char *),
-                     void (*onprep)(void *), void (*oninfer)(void *),
-                     void (*onmask)(void *), void *caller_ctx) {
+// Extended constructor: `options` is a comma-separated -p-style string
+// ("refine:guided,morph:open:3,u8exact,no-bilateral") parsed by
+// backscrub_tpu.pipeline.maskgen.parse_capi_options, so native consumers
+// reach the same beyond-parity pipeline the Python CLI exposes.  An unknown
+// option fails construction (NULL + ondebug message), never silently drops.
+void *bs_maskgen_new_ex(const char *modelname, size_t threads, size_t width,
+                        size_t height, const char *options,
+                        void (*ondebug)(void *, const char *),
+                        void (*onprep)(void *), void (*oninfer)(void *),
+                        void (*onmask)(void *), void *caller_ctx) {
   (void)threads;  // XLA owns device compute; accepted for API parity
   ensure_python();
   PyGILState_STATE g = PyGILState_Ensure();
@@ -131,8 +136,8 @@ void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
   PyObject *factory = PyObject_GetAttrString(mod, "maskgen_for_capi");
   Py_DECREF(mod);
   PyObject *obj = factory
-      ? PyObject_CallFunction(factory, "sllKKKKK", modelname, (long)width,
-                              (long)height,
+      ? PyObject_CallFunction(factory, "sllsKKKKK", modelname, (long)width,
+                              (long)height, options ? options : "",
                               (unsigned long long)(uintptr_t)ondebug,
                               (unsigned long long)(uintptr_t)onprep,
                               (unsigned long long)(uintptr_t)oninfer,
@@ -157,6 +162,16 @@ void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
   }
   PyGILState_Release(g);
   return c;
+}
+
+// Reference-shape constructor (lib/libbackscrub.h:31-39): no options.
+void *bs_maskgen_new(const char *modelname, size_t threads, size_t width,
+                     size_t height,
+                     void (*ondebug)(void *, const char *),
+                     void (*onprep)(void *), void (*oninfer)(void *),
+                     void (*onmask)(void *), void *caller_ctx) {
+  return bs_maskgen_new_ex(modelname, threads, width, height, "", ondebug,
+                           onprep, oninfer, onmask, caller_ctx);
 }
 
 void bs_maskgen_delete(void *context) {

@@ -46,6 +46,7 @@ struct Options {
   std::string sink = "null:";
   std::string background;  // raw BGR file; empty = green screen fallback
   std::string dump_mask;   // append raw masks here (test/debug seam)
+  std::string pipe_opts;   // -p tokens, joined for bs_maskgen_new_ex
   int width = 640, height = 480;
   int frames = 16;
   int threads = 2;
@@ -63,8 +64,10 @@ void usage(const char *argv0) {
   fprintf(stderr,
           "usage: %s [-m model] [-c test:|frames.bgr] [-v out.yuyv|/dev/videoN|null:]\n"
           "          [-b bg.bgr] [--cg WxH] [-n frames] [-t threads] [-H] [-V] [-d]\n"
-          "          [--dump-mask masks.raw] [--version]\n"
-          "Raw-BGR24 sources/backgrounds must match the WxH geometry.\n",
+          "          [-p option[:value]] [--dump-mask masks.raw] [--version]\n"
+          "Raw-BGR24 sources/backgrounds must match the WxH geometry.\n"
+          "-p (repeatable) mask options: refine:guided, morph:<op>[:k],\n"
+          "   u8exact, no-bilateral (see backscrub.h bs_maskgen_new_ex).\n",
           argv0);
 }
 
@@ -183,6 +186,9 @@ int main(int argc, char **argv) {
         fprintf(stderr, "bad geometry (want WxH)\n");
         return 1;
       }
+    } else if (a == "-p") {
+      if (!o.pipe_opts.empty()) o.pipe_opts += ",";
+      o.pipe_opts += next("-p");
     } else if (a == "-n") o.frames = atoi(next("-n"));
     else if (a == "-t") o.threads = atoi(next("-t"));
     else if (a == "-H") o.flip_h = true;
@@ -268,10 +274,11 @@ int main(int argc, char **argv) {
     }
   }
 
-  void *ctx = bs_maskgen_new(o.model.c_str(), size_t(o.threads),
-                             size_t(o.width), size_t(o.height),
-                             o.debug ? on_debug : nullptr, nullptr, nullptr,
-                             nullptr, nullptr);
+  void *ctx = bs_maskgen_new_ex(o.model.c_str(), size_t(o.threads),
+                                size_t(o.width), size_t(o.height),
+                                o.pipe_opts.c_str(),
+                                o.debug ? on_debug : nullptr, nullptr, nullptr,
+                                nullptr, nullptr);
   if (!ctx) {
     fprintf(stderr, "bs_maskgen_new failed for %s\n", o.model.c_str());
     return 1;
