@@ -51,6 +51,11 @@ class PipelineConfig:
                                      # (bit-exact; ~2.8x the jnp pack stage)
                                      # when output is plain same-geometry
                                      # YUYV with no flips; False = always jnp
+    pack_interpret: bool = False     # off-TPU: run the fused pack kernels in
+                                     # the Pallas interpreter instead of the
+                                     # jnp path — the SHIPPED program shape on
+                                     # a CPU mesh (dryrun_multichip / tests);
+                                     # no effect on TPU (compiled kernels)
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -247,11 +252,15 @@ class FramePipeline:
                     and not flip_h and not flip_v
                     and self.out_geo == (cfg.height, cfg.width)):
                 from .maskgen import _on_tpu
-                if _on_tpu():
+                on_tpu = _on_tpu()
+                if on_tpu or cfg.pack_interpret:
                     # Pallas fused blend + fixed-point YUV + pack:
                     # bit-exact vs the jnp path below, one VMEM pass
                     # (ops/pallas_kernels.py; leading stream axes flatten
-                    # into rows)
+                    # into rows).  Off-TPU with pack_interpret=True the
+                    # kernels run in the Pallas interpreter so the shipped
+                    # program shape is what a CPU mesh dryrun exercises.
+                    interp = not on_tpu
                     bgb = (jnp.broadcast_to(bg_frame, frame.shape)
                            if bg_frame.ndim < frame.ndim else bg_frame)
                     if cfg.output_format == "yuyv":
@@ -259,10 +268,11 @@ class FramePipeline:
                         yuyv = blend_pack_yuyv(
                             frame, bgb, mask,
                             chroma_order=cfg.chroma_order,
-                            correct_colors=cfg.correct_colors)
+                            correct_colors=cfg.correct_colors,
+                            interpret=interp)
                         return yuyv, mask, new_ema
                     from ..ops.pallas_kernels import blend_pack_420
-                    yy, uv = blend_pack_420(frame, bgb, mask)
+                    yy, uv = blend_pack_420(frame, bgb, mask, interpret=interp)
                     if cfg.output_format == "nv12":
                         return (jnp.concatenate([yy, uv], axis=-2),
                                 mask, new_ema)

@@ -379,3 +379,26 @@ def test_guided_refine_requires_frame():
     geo = compute_roi(64, 48, 64, 48, 64, 48)
     with pytest.raises(ValueError):
         postprocess_mask(jnp.zeros((48, 64), jnp.uint8), geo, refine="guided")
+
+
+def test_pack_interpret_matches_jnp_path():
+    """PipelineConfig(pack_interpret=True) routes the fused Pallas pack
+    kernels (interpret mode off-TPU) into the SHIPPED step — bytes must be
+    identical to the jnp path for every packed output format.  This is the
+    program shape dryrun_multichip exercises on the CPU mesh."""
+    from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
+
+    path = model_path("segm_lite_v681.tflite")
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    bg = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    for fmt in ("yuyv", "nv12", "i420"):
+        p_kern = FramePipeline(path, PipelineConfig(
+            width=64, height=48, output_format=fmt, pack_interpret=True))
+        p_jnp = FramePipeline(path, PipelineConfig(
+            width=64, height=48, output_format=fmt, fused_pack=False))
+        for _ in range(2):
+            y_k, m_k = p_kern.step(frame, bg)
+            y_j, m_j = p_jnp.step(frame, bg)
+        np.testing.assert_array_equal(np.asarray(y_k), np.asarray(y_j))
+        np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_j))
