@@ -68,3 +68,44 @@ def iou(a_person: np.ndarray, b_person: np.ndarray) -> float:
     inter = np.logical_and(a_person, b_person).sum()
     union = np.logical_or(a_person, b_person).sum()
     return 1.0 if union == 0 else float(inter / union)
+
+
+def classmap_agreement(path, frame_bgr, width, height, spec,
+                       model=None) -> float:
+    """Fraction of pixels where the device CNN's argmax class equals
+    TFLite CPU's, on the identically preprocessed frame.
+
+    Content-agnostic parity signal for multi-class models: DeepLab's
+    person-IoU gate is vacuous on frames where it detects no person
+    (iou() defines empty-vs-empty as 1.0), but 21-way argmax agreement
+    over every pixel stays a strong fidelity check on any frame —
+    including the repo's synthetic portrait, which VOC-trained DeepLab
+    does not read as a person."""
+    import cv2
+    import tensorflow as tf
+    from ..graph.executor import load_model
+    from ..pipeline.geometry import compute_roi
+
+    it = tf.lite.Interpreter(model_path=path)
+    it.allocate_tensors()
+    din = it.get_input_details()[0]
+    dout = it.get_output_details()[0]
+    ih, iw = din["shape"][1:3]
+    oh, ow = dout["shape"][1:3]
+    g = compute_roi(width, height, iw, ih, ow, oh)
+    roi = frame_bgr[g.roi.y:g.roi.y + g.roi.h, g.roi.x:g.roi.x + g.roi.w]
+    canvas = np.zeros((ih, iw, 3), np.uint8)
+    small = cv2.resize(roi.astype(np.float32), (g.in_roi.w, g.in_roi.h),
+                       interpolation=cv2.INTER_LINEAR)
+    canvas[g.in_roi.y:g.in_roi.y + g.in_roi.h,
+           g.in_roi.x:g.in_roi.x + g.in_roi.w] = \
+        np.clip(np.round(small), 0, 255).astype(np.uint8)
+    rgb = cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB)
+    rgb = cv2.bilateralFilter(rgb, 5, 100.0, 100.0)
+    x = rgb.astype(np.float32) * spec.scale + spec.offset
+    it.set_tensor(din["index"], x[None])
+    it.invoke()
+    ref = it.get_tensor(dout["index"])[0]
+    m = model if model is not None else load_model(path)
+    dev = np.asarray(m(x[None]))[0]
+    return float((ref.argmax(-1) == dev.argmax(-1)).mean())

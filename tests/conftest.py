@@ -64,3 +64,30 @@ def tflite_invoke(path: str, x: np.ndarray) -> np.ndarray:
     it.set_tensor(d["index"], x.astype(np.float32))
     it.invoke()
     return it.get_tensor(it.get_output_details()[0]["index"])
+
+
+def _assets():
+    """Repo-owned synthetic assets (tools/gen_assets.py): the suite no
+    longer depends on the mounted reference's backgrounds/ directory."""
+    import sys
+    tools = str(pathlib.Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from gen_assets import ensure_assets
+    return ensure_assets()
+
+
+def portrait_path() -> str:
+    """1280x720 synthetic head-and-shoulders portrait all five models
+    segment as a person (replaces reference screenshot.jpg in tests)."""
+    return _assets()[0]
+
+
+def background_video_path() -> str:
+    """Short animated background video (replaces retrowave.webm)."""
+    return _assets()[1]
+
+
+def background_image_path() -> str:
+    """Still background image (replaces background.png)."""
+    return _assets()[2]

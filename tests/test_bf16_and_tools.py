@@ -16,7 +16,9 @@ from backscrub_tpu.pipeline.maskgen import MaskGen
 
 from conftest import model_path
 
-SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+from conftest import background_image_path, portrait_path
+
+SCREENSHOT = portrait_path()
 
 
 def iou(a, b):
@@ -73,7 +75,7 @@ def test_minimal_demo_runs(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "examples/minimal_demo.py", SCREENSHOT,
-         "/root/reference/backgrounds/background.png", out],
+         background_image_path(), out],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-500:]

@@ -14,7 +14,7 @@ from backscrub_tpu.io.background import BackgroundSource, load_background
 from backscrub_tpu.io.streams import (FileFrameSink, FileSource, NullFrameSink,
                                       SyntheticSource, open_sink, open_source)
 
-BACKGROUNDS = "/root/reference/backgrounds"
+from conftest import background_image_path, background_video_path
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -86,7 +86,7 @@ def test_synthetic_source_moves():
 
 
 def test_file_source_still_image():
-    path = os.path.join(BACKGROUNDS, "background.png")
+    path = background_image_path()
     if not os.path.exists(path):
         pytest.skip("asset missing")
     src = open_source(path, 320, 240)
@@ -97,7 +97,7 @@ def test_file_source_still_image():
 
 
 def test_file_source_video_loops():
-    path = os.path.join(BACKGROUNDS, "retrowave.webm")
+    path = background_video_path()
     if not os.path.exists(path):
         pytest.skip("asset missing")
     src = FileSource(path, 160, 120, loop=True)
@@ -215,7 +215,7 @@ def test_raw_yuv_file_sink(tmp_path):
 
 
 def test_background_still():
-    path = os.path.join(BACKGROUNDS, "background.png")
+    path = background_image_path()
     if not os.path.exists(path):
         pytest.skip("asset missing")
     bg = BackgroundSource(path)
@@ -226,7 +226,7 @@ def test_background_still():
 
 
 def test_background_video_paced():
-    path = os.path.join(BACKGROUNDS, "retrowave.webm")
+    path = background_video_path()
     if not os.path.exists(path):
         pytest.skip("asset missing")
     import time

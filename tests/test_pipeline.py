@@ -16,7 +16,9 @@ from backscrub_tpu.pipeline.maskgen import MaskGen
 
 from conftest import model_path
 
-SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+from conftest import background_image_path, portrait_path
+
+SCREENSHOT = portrait_path()  # repo-owned synthetic person portrait
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +192,7 @@ def test_full_frame_composite_bit_exact():
     if frame is None:
         pytest.skip("screenshot asset unavailable")
     frame = cv2.resize(frame, (640, 480))
-    bg = cv2.resize(cv2.imread("/root/reference/backgrounds/background.png"),
+    bg = cv2.resize(cv2.imread(background_image_path()),
                     (640, 480))
 
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig

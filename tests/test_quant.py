@@ -11,7 +11,9 @@ from backscrub_tpu.quant.ptq import quantize_per_channel
 
 from conftest import model_path
 
-SCREENSHOT = "/root/reference/backgrounds/screenshot.jpg"
+from conftest import portrait_path
+
+SCREENSHOT = portrait_path()
 
 
 def test_quantize_per_channel_roundtrip(rng):
