@@ -58,7 +58,11 @@ usage:
 --no-bilateral  Skip the bilateral prefilter
 --correct-colors  Use spec-correct YUYV (the reference feeds BGR to RGB2YUV)
 --staging     Route host<->device transfers through pinned-host staging
-              (DMA-eligible on PCIe-attached TPUs; bit-identical output)
+              (DMA-eligible on PCIe-attached TPUs; bit-identical output).
+              A startup probe measures staged vs plain at the session
+              geometry and keeps the winner (staging can be a 2x LOSS on
+              hosts where the pinned hop is just an extra copy)
+--staging-force  Staging without the probe (trust the flag)
 --sink-format yuyv|nv12|i420|bgr24|mjpg   Virtual-camera pixel format
               (default yuyv; 4:2:0 formats are device-packed, BT.601,
               cv2-bit-exact; mjpg encodes ON DEVICE — host only Huffman-
@@ -77,7 +81,8 @@ def parse_args(argv: List[str]) -> Optional[dict]:
                blur_strength=0, mask_refine="box", flip_h=False, flip_v=False,
                width=640, height=480, set_w_or_h=False,
                frames=0, bf16=False, int8=False, bilateral=True,
-               correct_colors=False, staging=False, sink_format="yuyv",
+               correct_colors=False, staging=False, staging_force=False,
+               sink_format="yuyv",
                stats_json=None, drain_thread=False, jpeg_quality=85,
                bg_pixelate=0, bg_desaturate=False, mask_morph="")
     i = 0
@@ -177,6 +182,9 @@ def parse_args(argv: List[str]) -> Optional[dict]:
             cfg["correct_colors"] = True
         elif a == "--staging":
             cfg["staging"] = True
+        elif a == "--staging-force":
+            cfg["staging"] = True
+            cfg["staging_force"] = True
         elif a == "--sink-format":
             fmt = val().lower()
             if fmt not in ("yuyv", "nv12", "i420", "bgr24", "mjpg"):
@@ -331,9 +339,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         window = None
 
     from .runtime.serving import ServingLoop
-    loop = ServingLoop(pipe, depth=3, staging=cfg["staging"],
+    use_staging = cfg["staging"]
+    if use_staging and not cfg["staging_force"]:
+        # measure, don't assume: pinned staging is a 2x LOSS on some hosts
+        # (BENCH_DETAILS e2e_720p_servingloop_d3_staged 4.12 fps vs 8.26
+        # unstaged on the tunneled dev box) and a win only where the pinned
+        # hop enables real PCIe DMA — probe at this session's geometry and
+        # keep whichever is faster (--staging-force skips the probe)
+        from .io.staging import probe_staging
+        pw, ph = pipe.cfg.width, pipe.cfg.height
+        pr = probe_staging(pw, ph)
+        if not pr["supported"]:
+            print("staging: pinned_host memory not available on this "
+                  "backend, using plain transfers", file=sys.stderr)
+            use_staging = False
+        elif not pr["use_staging"]:
+            print(f"staging: DISABLED by startup probe — staged roundtrip "
+                  f"{pr['staged_ms']:.1f} ms/frame vs plain "
+                  f"{pr['plain_ms']:.1f} ms at {pw}x{ph}"
+                  " (pass --staging-force to override)", file=sys.stderr)
+            use_staging = False
+        else:
+            print(f"staging: enabled (probe: staged {pr['staged_ms']:.1f} ms"
+                  f"/frame vs plain {pr['plain_ms']:.1f} ms)", file=sys.stderr)
+    loop = ServingLoop(pipe, depth=3, staging=use_staging,
                        drain_thread=cfg["drain_thread"])
-    if cfg["staging"] and loop.staging is not None and not loop.staging.supported:
+    if use_staging and loop.staging is not None and not loop.staging.supported:
         print("staging: pinned_host memory not available on this backend, "
               "using plain transfers", file=sys.stderr)
 

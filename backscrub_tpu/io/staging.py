@@ -107,3 +107,49 @@ class StagingRing:
         if not self.supported:
             return np.asarray(dev_array)
         return np.asarray(jax.device_put(dev_array, self._pinned))
+
+
+def probe_staging(width: int, height: int, *, frames: int = 8,
+                  device=None) -> dict:
+    """Measure staged vs plain host<->device roundtrips at a given frame
+    geometry; returns per-frame times and the winner.
+
+    Rationale: on this project's tunneled-TPU dev container, pinned-host
+    staging is a MEASURED 2x regression end-to-end
+    (BENCH_DETAILS.json e2e_720p_servingloop_d3_staged: 4.12 fps vs 8.26
+    unstaged, sink p50 1005 ms vs 348 ms) — the pinned hop only pays off
+    on a real PCIe-attached device where it enables DMA.  Rather than ship
+    a flag that silently halves throughput on some hosts, callers (cli
+    --staging) run this probe once at startup and keep staging only when
+    it measures faster; see README "Staging and the PCIe budget" for the
+    analytic case that the plain path already clears the 300-fps target
+    given >= 1 GB/s effective PCIe each way.
+    """
+    import time
+
+    rng = np.random.default_rng(0)
+    hosts = [rng.integers(0, 256, (height, width, 3), np.uint8)
+             for _ in range(4)]
+    ring = StagingRing(device=device)
+
+    def roundtrip_ms(upload, download) -> float:
+        # warm both directions (compile-free: pure transfers)
+        d = upload(hosts[0])
+        download(d)
+        t0 = time.perf_counter()
+        for i in range(frames):
+            d = upload(hosts[i % 4])
+            download(d)
+        return (time.perf_counter() - t0) / frames * 1e3
+
+    dev = device or jax.devices()[0]
+    plain_ms = roundtrip_ms(lambda h: jax.device_put(h, dev), np.asarray)
+    if not ring.supported:
+        return {"supported": False, "use_staging": False,
+                "plain_ms": plain_ms, "staged_ms": float("nan")}
+    staged_ms = roundtrip_ms(ring.upload, ring.fetch)
+    return {"supported": True,
+            # hysteresis: keep staging only on a clear (>10%) win so noisy
+            # ties don't flap run-to-run
+            "use_staging": staged_ms < plain_ms * 0.9,
+            "plain_ms": plain_ms, "staged_ms": staged_ms}

@@ -116,3 +116,31 @@ def test_serving_loop_staged_mjpg_tuple_frames():
         outs[staged] = got
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_probe_staging_reports_and_decides():
+    """probe_staging returns measured per-frame roundtrip times and a
+    winner; on backends without pinned_host it must decide False."""
+    from backscrub_tpu.io.staging import probe_staging, pinned_supported
+
+    pr = probe_staging(64, 48, frames=4)
+    assert pr["plain_ms"] > 0
+    assert pr["supported"] == pinned_supported()
+    if not pr["supported"]:
+        assert pr["use_staging"] is False
+    else:
+        assert pr["staged_ms"] > 0
+
+
+def test_cli_staging_probe_plumbed(tmp_path):
+    """--staging triggers the startup probe; the run completes either way
+    and reports the probe decision on stderr."""
+    import subprocess, sys, os
+    env = dict(os.environ, BACKSCRUB_TPU_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "backscrub_tpu.cli", "-c", "test:",
+         "-v", "null:", "--cg", "64x48", "--frames", "2", "--staging"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "staging:" in r.stderr
