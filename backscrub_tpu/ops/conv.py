@@ -64,6 +64,12 @@ def depthwise_conv2d(ctx, node):
     # TFLite filter (1, fh, fw, in_ch*mult) -> HWIO with I=1, O=in_ch*mult,
     # grouped with feature_group_count=in_ch.  Output channel c*mult+m maps to
     # input channel c in both conventions.
+    # (A shift-and-accumulate elementwise lowering was measured and
+    # rejected: XLA fuses the fh*fw shifted multiply-adds into one fusion
+    # that runs at 1.3 GB/s — 92us for the first 48x80x16 DW at B=1 vs
+    # <1us on the grouped-conv emitter.  The emitter has its own pathology
+    # at batch — the same layer costs 312us/step at B=16 — documented in
+    # PERF.md as an XLA emitter issue, not fixable by reformulation here.)
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 2, 0, 3)),  # (fh, fw, 1, C*M)
                       inverse=lambda a: np.transpose(a, (2, 0, 1, 3)),

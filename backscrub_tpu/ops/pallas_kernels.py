@@ -33,40 +33,53 @@ from ..pipeline.image import _bilateral_taps as _taps
 
 
 def _bilateral_kernel(x_ref, out_ref, *, taps, inv2sc, rows, cols):
-    # x_ref: (3, rows+4, cols+4) padded block in VMEM; out: (3, rows, cols)
-    center = x_ref[:, 2:2 + rows, 2:2 + cols]
+    # x_ref: (1, 3, rows+4, cols+4) padded frame block in VMEM (leading 1 =
+    # the per-frame grid step); out: (1, 3, rows, cols)
+    center = x_ref[0, :, 2:2 + rows, 2:2 + cols]
     num = jnp.zeros((3, rows, cols), jnp.float32)
     den = jnp.zeros((1, rows, cols), jnp.float32)
     for (di, dj, sw) in taps:
-        nb = x_ref[:, 2 + di:2 + di + rows, 2 + dj:2 + dj + cols]
+        nb = x_ref[0, :, 2 + di:2 + di + rows, 2 + dj:2 + dj + cols]
         cdist = jnp.sum(jnp.abs(nb - center), axis=0, keepdims=True)
         w = sw * jnp.exp(inv2sc * cdist * cdist)
         num = num + w * nb
         den = den + w
-    out_ref[:, :, :] = num / den
+    out_ref[0, :, :, :] = num / den
 
 
-@functools.partial(jax.jit, static_argnames=("sigma_color", "sigma_space"))
+@functools.partial(jax.jit, static_argnames=("sigma_color", "sigma_space",
+                                             "interpret"))
 def bilateral5_pallas(rgb_f32, sigma_color: float = 100.0,
-                      sigma_space: float = 100.0):
-    """Pallas bilateral filter, d=5; input (H, W, 3) f32 u8-range values.
+                      sigma_space: float = 100.0, interpret: bool = False):
+    """Pallas bilateral filter, d=5; input (..., H, W, 3) f32 u8-range
+    values — leading batch dims become grid steps (one frame per block,
+    reflect borders stay per-frame).
 
     Numerically equivalent to pipeline.image.bilateral5 (same taps, same
     reflect-101 border).
     """
-    h, w = rgb_f32.shape[0], rgb_f32.shape[1]
-    x = jnp.transpose(rgb_f32, (2, 0, 1))  # (3, H, W)
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2)), mode="reflect")
+    lead = rgb_f32.shape[:-3]
+    h, w = rgb_f32.shape[-3], rgb_f32.shape[-2]
+    n = 1
+    for d in lead:
+        n *= d
+    x = rgb_f32.reshape((n, h, w, 3))
+    x = jnp.transpose(x, (0, 3, 1, 2))  # (N, 3, H, W)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2)), mode="reflect")
     taps = _taps(5, sigma_space)
     inv2sc = -0.5 / (sigma_color ** 2)
     out = pl.pallas_call(
         functools.partial(_bilateral_kernel, taps=taps, inv2sc=inv2sc,
                           rows=h, cols=w),
-        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, 3, h + 4, w + 4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 3, h, w), jnp.float32),
+        interpret=interpret,
     )(xp)
-    return jnp.transpose(out, (1, 2, 0))
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(lead + (h, w, 3))
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,28 @@ def box_blur(x, ksize: int = 5):
     return _sep_filter(x, k, k)
 
 
+def blur_matrix(size: int, ksize: int = 5) -> np.ndarray:
+    """Dense (size, size) matrix of the 1-D box blur with reflect-101
+    border — the linear operator _sep_filter applies along one axis.
+
+    blur∘resize is one precomputable matrix product per axis
+    (blur_matrix @ resize_matrix), so the mask post-process's separate
+    blur passes (and their pad/reverse/concat border ops — ~18us of the
+    720p step) fold into the upscale contractions for free."""
+    r = ksize // 2
+    m = np.zeros((size, size), np.float64)
+    for o in range(size):
+        for t in range(o - r, o + r + 1):
+            # reflect-101: -1 -> 1, size -> size-2 (np.pad mode="reflect")
+            i = t
+            if i < 0:
+                i = -i
+            if i > size - 1:
+                i = 2 * (size - 1) - i
+            m[o, max(0, min(i, size - 1))] += 1.0 / ksize
+    return m.astype(np.float32)
+
+
 _SMALL_GAUSSIAN = {
     1: [1.0],
     3: [0.25, 0.5, 0.25],

@@ -34,13 +34,43 @@ def _on_tpu() -> bool:
         return False
 
 
+import functools
+
+# Precision for the frame/mask resize contractions only (the CNN keeps the
+# caller's precision).  These are 2-tap-per-row interpolation matrices over
+# u8-range values: a single-pass bf16 matmul keeps every output within
+# ~±1 of the f32 result (mask bytes shift only at decode boundaries,
+# IoU-neutral — golden-gated in tests/test_pipeline.py), while HIGHEST
+# costs 6 MXU passes — measured 35us of the 175us 720p step across the
+# three resize einsums, 5x more than DEFAULT for invisible extra bits.
+RESIZE_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _resize_precision(precision):
+    """HIGHEST callers get the fast resize; explicit others are honored."""
+    return RESIZE_PRECISION if precision in (
+        None, jax.lax.Precision.HIGHEST) else precision
+
+
+@functools.lru_cache(maxsize=32)
+def _fold_blur_matrices(sh: int, sw: int, out_h: int, out_w: int):
+    """(blur5 ∘ bilinear-upscale) as one dense matrix per axis."""
+    from ..ops.misc import resize_matrix
+    from .image import blur_matrix
+    ah = (blur_matrix(out_h, 5).astype(np.float64)
+          @ resize_matrix(sh, out_h, False, True).astype(np.float64))
+    aw = (blur_matrix(out_w, 5).astype(np.float64)
+          @ resize_matrix(sw, out_w, False, True).astype(np.float64))
+    return ah.astype(np.float32), aw.astype(np.float32)
+
+
 def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
                use_bilateral: bool = True, precision=None, dtype=jnp.float32):
     """Frame (..., H, W, 3) BGR u8 -> model input (..., in_h, in_w, 3) float."""
     r = geo.roi
     roi = frame_bgr_u8[..., r.y:r.y + r.h, r.x:r.x + r.w, :]
     small = resize_bilinear(roi.astype(dtype), geo.in_roi.h, geo.in_roi.w,
-                            precision=precision)
+                            precision=_resize_precision(precision))
     # quantize back to u8 grid: the reference resizes in u8 before filtering
     small = jnp.round(small)
     # letterbox into the model canvas (margins black, libbackscrub.cc:250,288)
@@ -52,7 +82,9 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
     if use_bilateral:
         # u8-domain filter (libbackscrub.cc:297); on TPU the Pallas stencil
         # kernel is bit-identical to the jnp version and ~1.2x faster
-        if rgb.ndim == 3 and _on_tpu():
+        # (batched frames grid per-frame — the jnp fallback at B=16 cost
+        # ~8us/frame vs ~4 for the kernel)
+        if rgb.ndim in (3, 4) and _on_tpu():
             from ..ops.pallas_kernels import bilateral5_pallas
             rgb = jnp.round(bilateral5_pallas(rgb.astype(jnp.float32))).astype(dtype)
         else:
@@ -63,7 +95,7 @@ def preprocess(frame_bgr_u8, geo: RoiGeometry, spec: ModelSpec,
 def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
                      u8_exact: bool = False, refine: str = "box",
                      frame_bgr=None, refine_radius: int = 4,
-                     morph: str = ""):
+                     morph: str = "", fold_blur: Optional[bool] = None):
     """EMA mask (..., oh, ow) u8 -> full-frame mask (..., H, W) u8.
 
     Crop the model-output ROI, upscale to the frame ROI, 5x5 box blur, and
@@ -119,8 +151,30 @@ def postprocess_mask(ema_u8, geo: RoiGeometry, precision=None,
         pad = [(0, 0)] * (m.ndim - 2) + [(r.y, geo.frame_h - r.y - r.h),
                                          (r.x, geo.frame_w - r.x - r.w)]
         return jnp.pad(m, pad, constant_values=255)
+    sh, sw = small.shape[-2], small.shape[-1]
+    if fold_blur is None:
+        # auto: blur∘resize is one precomputable linear operator per axis,
+        # saving the separate blur passes + their border ops (~18us of the
+        # 720p step) — but it skips the round between resize and blur that
+        # coarse outputs need to quantize like the reference's u8 path
+        # (BodyPix's 33x33 drops below the IoU bar without it), so fold
+        # only for fine model outputs
+        fold_blur = min(sh, sw) >= 64
+    if fold_blur:
+        ah, aw = _fold_blur_matrices(sh, sw, geo.roi.h, geo.roi.w)
+        rp = _resize_precision(precision)
+        y = jnp.einsum("oh,...hw->...ow", jnp.asarray(ah),
+                       small.astype(jnp.float32), precision=rp)
+        y = jnp.einsum("pw,...ow->...op", jnp.asarray(aw), y,
+                       precision=rp)
+        m = jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+        r = geo.roi
+        pad = [(0, 0)] * (m.ndim - 2) + [(r.y, geo.frame_h - r.y - r.h),
+                                         (r.x, geo.frame_w - r.x - r.w)]
+        return jnp.pad(m, pad, constant_values=255)
     small_f = small.astype(jnp.float32)[..., None]
-    up = resize_bilinear(small_f, geo.roi.h, geo.roi.w, precision=precision)
+    up = resize_bilinear(small_f, geo.roi.h, geo.roi.w,
+                         precision=_resize_precision(precision))
     # the reference resizes in u8 then blurs u8; round between stages so
     # boundary pixels quantize the same way (matters for coarse outputs
     # like BodyPix's 33x33)

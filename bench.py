@@ -587,68 +587,39 @@ def run_parity_check():
 
 
 def run_attrib():
-    """Attribute the fused 720p step's device time across its stages by
-    timing progressively larger jitted sub-programs (prefix timing — each
-    figure includes the stages before it, so deltas are per-stage costs).
-    Scan-chained + checksummed like measure() (tunnel-proof).  Merges a
-    step_attribution_720p record into BENCH_DETAILS.json."""
-    import jax
-    import jax.numpy as jnp
-    from backscrub_tpu.pipeline.maskgen import preprocess, postprocess_mask
-    from backscrub_tpu.pipeline.decode import decode_val, ema_update
-    from backscrub_tpu.pipeline.image import alpha_blend_u8, rgb_to_yuyv
+    """Attribute the SHIPPED fused 720p step's device time across its
+    stages from a real per-op device trace (tools/roofline.py): the exact
+    scan+checksum program the headline measures is profiled once and every
+    XLA instruction is mapped to its pipeline stage via HLO source
+    metadata.  (The previous prefix-timing approach compiled sub-programs
+    that fuse differently from the full program and mis-attributed ~60us
+    — e.g. it billed the resize einsums to "CNN".)  Merges a
+    step_attribution_720p record into BENCH_DETAILS.json; full_step_us is
+    within noise of the headline because it IS the headline program."""
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import roofline
 
-    pipe = build_pipe("segm_lite_v681.tflite", 1280, 720)
-    geo, spec, model = pipe.geo, pipe.spec, pipe.maskgen.model
-    params, prec = model.params, pipe.precision
-    rng = np.random.default_rng(0)
-    frames = jax.device_put(rng.integers(0, 256, (2, 720, 1280, 3), np.uint8))
-    bgs = jax.device_put(rng.integers(0, 256, (1, 720, 1280, 3), np.uint8))
-    ema0 = jnp.full(model.output_shape[1:3], 255, jnp.uint8)
-
-    def timeit(stage, n=200):
-        # wrap the sub-program in the measure_scan protocol: (params,
-        # frame, bg, ema) -> (out_for_checksum, None, new_ema)
-        best, _ = measure_scan(stage, params, frames, bgs, ema0, iters=n)
-        return round(best * 1e3, 1)  # us
-
-    def to_mask(p, fr, e):
-        x = preprocess(fr, geo, spec, use_bilateral=True, precision=prec)
-        out = model.raw_fn(p, x[None])[0]
-        ne = ema_update(e, decode_val(out.astype(jnp.float32), spec))
-        return postprocess_mask(ne, geo, precision=prec, refine="box",
-                                frame_bgr=fr), ne
-
-    def full(p, fr, b, e):
-        m, ne = to_mask(p, fr, e)
-        yuyv = rgb_to_yuyv(alpha_blend_u8(b, fr, m))
-        return yuyv.reshape(yuyv.shape[:-2] + (yuyv.shape[-2] * 2,)), ne
-
+    s = roofline.analyze(batch=1, iters=10)
     rec = {
-        # each stage carries the EMA through untouched where it isn't
-        # naturally part of the prefix, so the scan chain stays serial
-        "preprocess_us": timeit(
-            lambda p, fr, b, e: (preprocess(
-                fr, geo, spec, use_bilateral=True, precision=prec),
-                None, e + 0)),
-        "pre_cnn_us": timeit(
-            lambda p, fr, b, e: (model.raw_fn(p, preprocess(
-                fr, geo, spec, use_bilateral=True,
-                precision=prec)[None]), None, e + 0)),
-        "pre_cnn_decode_post_us": timeit(
-            lambda p, fr, b, e: (lambda m_ne: (m_ne[0], None, m_ne[1]))(
-                to_mask(p, fr, e))),
-        "full_step_us": timeit(
-            lambda p, fr, b, e: (lambda o_ne: (o_ne[0], None, o_ne[1]))(
-                full(p, fr, b, e))),
+        "full_step_us": s["step_us"],
+        "stage_us": s["stage_us"],
+        "n_ops": s["n_ops"],
+        "us_in_ops_under_1us": s["us_in_ops_under_1us"],
+        "method": "device-trace of the shipped scan+checksum program "
+                  "(tools/roofline.py); see roofline_720p for per-op rows",
     }
-    for k, v in rec.items():
-        print(f"  {k:26s} {v:8.1f} us", file=sys.stderr)
+    for k, v in rec["stage_us"].items():
+        print(f"  {k:16s} {v:8.1f} us", file=sys.stderr)
+    print(f"  {'full step':16s} {rec['full_step_us']:8.1f} us",
+          file=sys.stderr)
     results = {}
     if os.path.exists("BENCH_DETAILS.json"):
         with open("BENCH_DETAILS.json") as f:
             results = json.load(f)
     results["step_attribution_720p"] = rec
+    results["roofline_720p"] = s
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"metric": "step_attribution_720p_full_us",
