@@ -34,11 +34,11 @@ def _conv_precision(ctx):
 @register("CONV_2D")
 def conv2d(ctx, node):
     x = ctx.get(node.inputs[0])
+    o = node.options
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 2, 3, 0)),   # OHWI->HWIO
                       inverse=lambda a: np.transpose(a, (3, 0, 1, 2)),
                       variant="hwio")
-    o = node.options
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
     y = lax.conv_general_dilated(
         x, w,
