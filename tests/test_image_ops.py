@@ -450,3 +450,36 @@ def test_blend_pack_420_kernel_bit_exact(rng):
         got_i420 = np.concatenate(
             [np.asarray(y).reshape(lead + (h * w,)), u, v], axis=-1)
         np.testing.assert_array_equal(got_i420, np.asarray(bgr_to_i420(comp)))
+
+
+def test_blur_matrix_equals_sep_filter_box_blur():
+    """blur_matrix is the exact linear operator of the separable 5x5 box
+    blur with reflect-101 border (the fold_blur path composes it with the
+    resize matrix — maskgen._fold_blur_matrices)."""
+    import numpy as np
+    from backscrub_tpu.pipeline.image import blur_matrix, box_blur
+
+    rng = np.random.default_rng(5)
+    for size in (33, 64, 97):
+        x = rng.random((size, size, 1)).astype(np.float32) * 255
+        want = np.asarray(box_blur(jnp.asarray(x), 5))[..., 0]
+        m = blur_matrix(size, 5)
+        got = m @ x[..., 0] @ m.T
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_fold_blur_matrices_match_two_stage_unrounded():
+    """The composed (blur @ resize) matrices equal resize-then-blur with
+    the intermediate round REMOVED — i.e. fold_blur changes numerics only
+    by that round (why BodyPix's coarse 33x33 keeps the two-stage path)."""
+    import numpy as np
+    from backscrub_tpu.pipeline.image import box_blur, resize_bilinear
+    from backscrub_tpu.pipeline.maskgen import _fold_blur_matrices
+
+    rng = np.random.default_rng(6)
+    small = rng.integers(0, 256, (96, 160)).astype(np.float32)
+    up = resize_bilinear(jnp.asarray(small)[..., None], 240, 320)
+    want = np.asarray(box_blur(up, 5))[..., 0]
+    ah, aw = _fold_blur_matrices(96, 160, 240, 320)
+    got = ah @ small @ aw.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
