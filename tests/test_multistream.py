@@ -143,10 +143,18 @@ def test_multistream_requires_divisible():
 
 
 @needs_8
-def test_multistream_server_pull_bit_exact(rng):
-    """MultiStreamServer (pull mode): each stream's delivered outputs are
-    bit-identical to running that stream alone, including streams that end
-    early (their EOF must not repeat or shift later deliveries)."""
+def test_multistream_server_pull_identity(rng):
+    """MultiStreamServer (pull mode): each stream's delivered outputs match
+    running that stream alone, including streams that end early (their EOF
+    must not repeat or shift later deliveries).
+
+    Identity is held to the documented batched-serving invariant (CLAUDE.md
+    "Batched serving is NOT guaranteed byte-identical"; tools/soak.py
+    Verifier thresholds): the batched einsums/convs sum in a different
+    order than solo, and since fold_blur removed the integer round between
+    mask upscale and blur, a ~1-ulp difference can survive to the output as
+    +-1 on a handful of bytes (measured worst case here: 0.05% of a frame).
+    Anything beyond +-1 / 2% of a frame / 0.2% stream mean is a real bug."""
     from backscrub_tpu.runtime.multistream import MultiStreamServer
 
     path = model_path("segm_lite_v681.tflite")
@@ -171,9 +179,19 @@ def test_multistream_server_pull_bit_exact(rng):
     for s in range(S):
         assert len(got[s]) == lengths[s]
         single = FramePipeline(path, cfg)
+        fracs = []
         for i, f in enumerate(streams[s]):
             out, _ = single.step(f, bgs[s])
-            np.testing.assert_array_equal(got[s][i], np.asarray(out))
+            a = np.asarray(got[s][i]).astype(np.int16)
+            b = np.asarray(out).astype(np.int16)
+            assert np.abs(a - b).max() <= 1, \
+                f"stream {s} frame {i}: differences exceed +-1"
+            frac = float((a != b).mean())
+            fracs.append(frac)
+            assert frac <= 0.02, \
+                f"stream {s} frame {i}: {frac:.2%} of bytes differ"
+        assert np.mean(fracs) <= 0.002, \
+            f"stream {s}: mean differing-byte fraction {np.mean(fracs):.3%}"
 
 
 @needs_8
