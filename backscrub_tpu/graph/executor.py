@@ -175,6 +175,12 @@ class CompiledModel:
     output_shape: tuple
     compute_dtype: Any
     weight_meta: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # host-side staging copy of the prepared weights (the same store raw_fn
+    # closes over) — lets partial re-traces (pipeline/edge.py span fns) run
+    # after build_model released the IR's weight payloads
+    host_params: Optional[Dict[str, np.ndarray]] = None
+    precision_setting: Any = None
+    quantize_mode: Optional[str] = None
 
     def __call__(self, x, params: Optional[Dict[str, jnp.ndarray]] = None):
         return self.fn(params if params is not None else self.params, x)
@@ -296,6 +302,8 @@ def build_model(graph: GraphIR, compute_dtype=jnp.float32,
         graph=graph, params=params, fn=fn, raw_fn=raw_fn,
         input_shape=tuple(in_t.shape), output_shape=tuple(out_t.shape),
         compute_dtype=compute_dtype, weight_meta=weight_meta,
+        host_params=prepared, precision_setting=precision,
+        quantize_mode=quantize,
     )
 
 

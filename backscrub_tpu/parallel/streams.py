@@ -40,10 +40,10 @@ class MultiStreamPipeline:
         self.n_streams = n_streams
         self.pipe = FramePipeline(model, config, compute_dtype=compute_dtype,
                                   precision=precision)
-        oh, ow = self.pipe.maskgen.model.output_shape[1:3]
         self._batch_sharding = NamedSharding(mesh, P("data"))
         self.ema = jax.device_put(
-            jnp.full((n_streams, oh, ow), 255, jnp.uint8), self._batch_sharding)
+            jnp.full((n_streams,) + self.pipe.maskgen.ema_shape, 255,
+                     jnp.uint8), self._batch_sharding)
         self.params = shard_params(self.pipe.maskgen.model.params, mesh)
         self._green_batch = None
         # batched compose: the pipeline stages are written with ellipsis
@@ -83,10 +83,9 @@ class MultiStreamPipeline:
         return out, masks
 
     def reset(self):
-        oh, ow = self.pipe.maskgen.model.output_shape[1:3]
         self.ema = jax.device_put(
-            jnp.full((self.n_streams, oh, ow), 255, jnp.uint8),
-            self._batch_sharding)
+            jnp.full((self.n_streams,) + self.pipe.maskgen.ema_shape, 255,
+                     jnp.uint8), self._batch_sharding)
 
     def reset_stream(self, s: int):
         """Reset ONE stream's temporal EMA to the all-background init

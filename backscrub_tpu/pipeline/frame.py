@@ -56,6 +56,14 @@ class PipelineConfig:
                                      # jnp path — the SHIPPED program shape on
                                      # a CPU mesh (dryrun_multichip / tests);
                                      # no effect on TPU (compiled kernels)
+    edge_fused: Optional[bool] = None  # fused phase-split edge path
+                                     # (pipeline/edge.py): quadrant resize +
+                                     # Pallas bilateral+first-conv and
+                                     # tconv+decode+EMA kernels. None = auto
+                                     # (on-TPU, pattern permitting); False =
+                                     # classic lowerings
+    edge_interpret: bool = False     # off-TPU: run the edge kernels in the
+                                     # Pallas interpreter (CPU mesh dryrun)
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -138,6 +146,10 @@ class FramePipeline:
         self.maskgen = MaskGen(model, config.width, config.height,
                                compute_dtype=compute_dtype, precision=precision,
                                use_bilateral=config.use_bilateral,
+                               refine=config.mask_refine,
+                               morph=config.mask_morph,
+                               edge_fused=config.edge_fused,
+                               edge_interpret=config.edge_interpret,
                                quantize=quantize)
         self.spec = self.maskgen.spec
         self.geo = self.maskgen.geo
@@ -224,16 +236,22 @@ class FramePipeline:
                 mask = jnp.full(frame.shape[:-1], 255, jnp.uint8)
                 return finish(frame, mask, ema)
 
-            # --- mask chain (libbackscrub path), fused in the same program
-            x = preprocess(frame, geo, spec, use_bilateral=cfg.use_bilateral,
-                           precision=self.precision)
-            out = model.raw_fn(params, x[None] if x.ndim == 3 else x)
-            out = out[0] if x.ndim == 3 else out
-            val = decode_val(out.astype(jnp.float32), spec)
-            new_ema = ema_update(ema, val)
-            mask = postprocess_mask(new_ema, geo, precision=self.precision,
-                                    refine=cfg.mask_refine, frame_bgr=frame,
-                                    morph=cfg.mask_morph)
+            # --- mask chain (libbackscrub path), fused in the same program;
+            # the phase-split edge path replaces it when active
+            # (pipeline/edge.py — first conv + tconv/decode/EMA as
+            # quadrant-layout kernels, EMA carried in quadrant layout)
+            if self.maskgen.edge is not None:
+                mask, new_ema = self.maskgen.edge.step_mask(params, frame, ema)
+            else:
+                x = preprocess(frame, geo, spec, use_bilateral=cfg.use_bilateral,
+                               precision=self.precision)
+                out = model.raw_fn(params, x[None] if x.ndim == 3 else x)
+                out = out[0] if x.ndim == 3 else out
+                val = decode_val(out.astype(jnp.float32), spec)
+                new_ema = ema_update(ema, val)
+                mask = postprocess_mask(new_ema, geo, precision=self.precision,
+                                        refine=cfg.mask_refine, frame_bgr=frame,
+                                        morph=cfg.mask_morph)
 
             # --- background (app/deepseg.cc:645-658) + -p effects, all
             # fused device stages: desaturate -> pixelate -> blur

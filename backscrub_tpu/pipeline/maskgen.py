@@ -206,6 +206,8 @@ class MaskGen:
                  refine: str = "box",
                  morph: str = "",
                  quantize=None,
+                 edge_fused: Optional[bool] = None,
+                 edge_interpret: bool = False,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
                  onmask: Optional[Callable] = None,
@@ -247,13 +249,45 @@ class MaskGen:
                     f"morph op must be erode|dilate|open|close, got {op!r}")
         self.morph = morph
         self.onprep, self.oninfer, self.onmask, self.ondebug = onprep, oninfer, onmask, ondebug
-        self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+        # Fused phase-split edge path (pipeline/edge.py): replaces the
+        # first conv + transpose-conv tail with quadrant-layout einsums and
+        # Pallas kernels when the model matches the pattern.  Auto-on for
+        # the fused mode on TPU (compiled kernels) or with edge_interpret
+        # (CPU mesh dryrun/tests); edge_fused=False forces the classic path.
+        self.edge = None
+        if fused and edge_fused is not False:
+            want = edge_fused or (edge_fused is None
+                                  and (_on_tpu() or edge_interpret))
+            if want:
+                from .edge import EdgeFused, edge_applicable
+                info = edge_applicable(self.model, self.spec, self.geo,
+                                       refine=refine,
+                                       u8_exact=self.u8_exact_post,
+                                       morph=morph, quantize=quantize)
+                if info is not None:
+                    self.edge = EdgeFused(
+                        self.model, self.geo, self.spec, info,
+                        use_bilateral=use_bilateral, precision=precision,
+                        interpret=not _on_tpu(), refine=refine, morph=morph,
+                        u8_exact=self.u8_exact_post)
+                elif edge_fused:
+                    raise ValueError(
+                        "edge_fused=True but the model/post configuration "
+                        "does not match the fusable edge pattern")
+        # EMA state shape: the fused edge tail carries it in phase-major
+        # quadrant layout (pipeline/edge.py); uniform init, so layouts are
+        # interchangeable at reset time
+        self.ema_shape = (self.edge.ema_shape if self.edge is not None
+                          else (oh, ow))
+        self.ema = jnp.full(self.ema_shape, 255, jnp.uint8)
         self._dbg(f"loaded {self.model_path} ({self.spec.kind}, "
                   f"decode={self.spec.decode})")
         self._dbg(f"model input {iw}x{ih}, output {ow}x{oh}; frame "
                   f"{width}x{height}; roi={self.geo.roi} in_roi={self.geo.in_roi}")
 
         def _step(params, frame, ema):
+            if self.edge is not None:
+                return self.edge.step_mask(params, frame, ema)
             x = preprocess(frame, self.geo, self.spec,
                            use_bilateral=self.use_bilateral,
                            precision=self.precision, dtype=jnp.float32)
@@ -325,8 +359,7 @@ class MaskGen:
         return self.process(frame).tobytes()
 
     def reset(self):
-        oh, ow = self.model.output_shape[1:3]
-        self.ema = jnp.full((oh, ow), 255, jnp.uint8)
+        self.ema = jnp.full(self.ema_shape, 255, jnp.uint8)
 
 
 def _c_stage_callback(addr: int, ctx_addr: int) -> Callable[[], None]:

@@ -142,7 +142,7 @@ def measure(pipe, w, h, iters=ITERS, bg_frames=None):
     params = pipe.maskgen.model.params
     raw = pipe._make_step("explicit", pipe.cfg.flip_horizontal,
                           pipe.cfg.flip_vertical, True)
-    ema0 = jnp.full(pipe.maskgen.model.output_shape[1:3], 255, jnp.uint8)
+    ema0 = jnp.full(pipe.maskgen.ema_shape, 255, jnp.uint8)
     best_ms, med_ms = measure_scan(raw, params, frames, bgs, ema0,
                                    iters=iters)
     # p50 device latency = the sustained per-step time (the EMA chain makes
@@ -234,8 +234,7 @@ def run_batch_config(name):
     rng = np.random.default_rng(2)
     fb = jax.device_put(rng.integers(0, 256, (2, B, 720, 1280, 3), np.uint8))
     bgb = jax.device_put(rng.integers(0, 256, (1, B, 720, 1280, 3), np.uint8))
-    oh, ow = pipe.maskgen.model.output_shape[1:3]
-    emab = jnp.full((B, oh, ow), 255, jnp.uint8)
+    emab = jnp.full((B,) + pipe.maskgen.ema_shape, 255, jnp.uint8)
     best_ms, med_ms = measure_scan(raw, pipe.maskgen.model.params,
                                    fb, bgb, emab, iters=60)
     print(json.dumps({"config": name, "fps": round(B / best_ms * 1e3, 1),

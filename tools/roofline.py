@@ -196,8 +196,8 @@ def build_scan(batch: int, iters: int):
     shp = (batch, 720, 1280, 3) if batch > 1 else (720, 1280, 3)
     frames = jax.device_put(rng.integers(0, 256, (2,) + shp, np.uint8))
     bgs = jax.device_put(rng.integers(0, 256, (1,) + shp, np.uint8))
-    oh, ow = pipe.maskgen.model.output_shape[1:3]
-    eshp = (batch, oh, ow) if batch > 1 else (oh, ow)
+    es = pipe.maskgen.ema_shape
+    eshp = (batch,) + es if batch > 1 else es
     ema0 = jnp.full(eshp, 255, jnp.uint8)
     params = pipe.maskgen.model.params
 

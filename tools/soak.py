@@ -101,7 +101,7 @@ class Verifier:
         self.step = pipe._get_step("explicit", False, False, True)
         self.params = pipe.maskgen.model.params
         self.green = jnp.asarray(pipe.green)
-        self.out_hw = pipe.maskgen.model.output_shape[1:3]
+        self.out_hw = pipe.maskgen.ema_shape
 
     def fresh_ema(self):
         return self._jnp.full(self.out_hw, 255, self._jnp.uint8)
