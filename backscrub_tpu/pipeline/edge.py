@@ -336,6 +336,12 @@ def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
         out_specs=pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(oshape, out_dtype),
+        # the unrolled bilateral holds ~24 taps x 9 plane temporaries on the
+        # Mosaic stack; at 256-wide canvases that exceeds the default 16 MiB
+        # scoped-vmem cap (segm_full needs ~21 MiB).  v5e has 128 MiB of
+        # physical VMEM — raise the cap for this kernel only.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(zt, w_flat)
 

@@ -580,9 +580,26 @@ def run_parity_check():
         pack_ok = pack_ok and ok
         print(f"  fused blend+pack kernel identical to jnp path "
               f"({fmt}): {ok}", file=sys.stderr)
+    # fused phase-split edge path identity on the real device: the quadrant
+    # resize + Pallas front kernel + phase-major tail vs the classic
+    # lowerings (tolerance invariant: the tail's channel-difference dot is
+    # a ±1-ulp summation-order change, CLAUDE.md)
+    e_on = FramePipeline(mp, PipelineConfig(width=320, height=240,
+                                            edge_fused=True))
+    e_off = FramePipeline(mp, PipelineConfig(width=320, height=240,
+                                             edge_fused=False))
+    edge_ok = True
+    for _ in range(3):
+        m_on = np.asarray(e_on.step(f, bgf)[1])
+        m_off = np.asarray(e_off.step(f, bgf)[1])
+        d = np.abs(m_on.astype(np.int32) - m_off.astype(np.int32))
+        ok = int(d.max()) <= 1 and (d > 0).mean() <= 0.005
+        edge_ok = edge_ok and ok
+    print(f"  fused edge path within tolerance of classic lowerings: "
+          f"{edge_ok}", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
                       "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
-    sys.exit(0 if worst >= 0.99 and pack_ok else 1)
+    sys.exit(0 if worst >= 0.99 and pack_ok and edge_ok else 1)
 
 
 def run_attrib():

@@ -1,0 +1,178 @@
+"""Fused phase-split edge path (pipeline/edge.py) parity + gating.
+
+The edge path replaces the preprocess + first conv and the transpose-conv
+tail + decode/EMA/upscale with quadrant-layout operators (CPU tests run
+the Pallas front kernel in interpret mode — the same program shape the
+TPU compiles).  Parity bar: the tail's channel-difference dot reorders
+float summation vs computing both channels (same ±1-ulp class as batched
+serving, CLAUDE.md), so masks may differ by ±1 on threshold-boundary
+pixels on a small fraction of bytes; everything else is bit-exact.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import model_path
+
+from backscrub_tpu.pipeline.maskgen import MaskGen
+from backscrub_tpu.pipeline.edge import (
+    EdgeFused, detect_edge, edge_applicable, front_axis_matrix,
+    quadrant_upscale_matrices)
+
+
+def _noisy_frames(shape, n=3, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, shape, np.uint8).astype(np.int16)
+    out = []
+    for _ in range(n):
+        noise = rng.integers(-6, 7, shape, np.int16)
+        out.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    return out
+
+
+def _assert_mask_parity(a, b, max_abs=1, max_frac=0.005):
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    nd = int((d > 0).sum())
+    assert int(d.max()) <= max_abs, f"max byte diff {int(d.max())} > {max_abs}"
+    assert nd / d.size <= max_frac, f"{100*nd/d.size:.3f}% bytes differ"
+
+
+def _compare_paths(name, w, h, n=3, **kw):
+    path = model_path(name)
+    mg_ref = MaskGen(path, w, h, edge_fused=False, **kw)
+    mg_e = MaskGen(path, w, h, edge_fused=True, **kw)
+    assert mg_e.edge is not None and mg_e.edge.interpret
+    for f in _noisy_frames((h, w, 3), n=n):
+        _assert_mask_parity(np.asarray(mg_ref.process(f)),
+                            np.asarray(mg_e.process(f)))
+    return mg_e
+
+
+def test_edge_parity_two_channel_front_tail():
+    """Google Meet lite (two-channel decode): front + tail both fuse."""
+    mg = _compare_paths("segm_lite_v681.tflite", 640, 480)
+    assert mg.edge.info.front_ok and mg.edge.info.tail_ok
+    # EMA state is carried in phase-major quadrant layout
+    oh, ow = mg.model.output_shape[1:3]
+    assert mg.ema_shape == (2, 2, oh // 2, ow // 2)
+    assert mg.ema.shape == mg.ema_shape
+    mg.reset()
+    assert mg.ema.shape == mg.ema_shape
+
+
+def test_edge_parity_threshold_decode():
+    """MLKit selfie (sigmoid-threshold decode): the tail collapses to an
+    out-vs-logit(threshold) comparison; must match LOGISTIC + threshold."""
+    mg = _compare_paths(
+        "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+        320, 240)
+    assert mg.edge.info.front_ok and mg.edge.info.tail_ok
+    assert mg.edge.info.tail_kind == "threshold"
+
+
+def test_edge_parity_guided_refine_front_only():
+    """Non-default post (guided refine) degrades to front-only fusion and
+    still matches the classic path."""
+    mg = _compare_paths("segm_lite_v681.tflite", 640, 480, n=2,
+                        refine="guided")
+    assert mg.edge.info.front_ok and not mg.edge.info.tail_ok
+    oh, ow = mg.model.output_shape[1:3]
+    assert mg.ema_shape == (oh, ow)  # standard EMA layout without the tail
+
+
+def test_edge_gating():
+    path = model_path("segm_lite_v681.tflite")
+    mg = MaskGen(path, 640, 480, edge_fused=False)
+    model, spec, geo = mg.model, mg.spec, mg.geo
+    info = edge_applicable(model, spec, geo)
+    assert info is not None and info.front_ok and info.tail_ok
+    # morphology / u8-exact post / guided refine keep the fold_blur-style
+    # fused tail off (postprocess falls back to the classic stages)
+    for kw in (dict(morph="open:3"), dict(u8_exact=True),
+               dict(refine="guided")):
+        info = edge_applicable(model, spec, geo, **kw)
+        assert info is not None and info.front_ok and not info.tail_ok, kw
+    # quantized weights: no fused edge path at all
+    assert edge_applicable(model, spec, geo, quantize="int8") is None
+    # default MaskGen on CPU: classic path (edge is a TPU/auto feature)
+    assert MaskGen(path, 640, 480).edge is None
+
+
+def test_edge_small_geometry_tail_off():
+    """out_roi under the fold_blur floor (64 px) keeps the tail off."""
+    path = model_path("segm_lite_v681.tflite")
+    # an extreme portrait frame letterboxes to a 15-px-wide out_roi
+    mg = MaskGen(path, 100, 640, edge_fused=True)
+    assert mg.edge is not None
+    assert mg.edge.info.front_ok and not mg.edge.info.tail_ok
+
+
+def test_front_axis_matrix_matches_unquadrantized():
+    """Row s = a*qn + i of the quadrant operator must equal the resize ->
+    letterbox -> reflect-101(2) chain's row for canvas coordinate 2i+a-4
+    (zero when masked out), so the fused front reads identical pixels."""
+    from backscrub_tpu.ops.misc import resize_matrix
+
+    src, dst_roi, canvas, lo = 480, 224, 256, 16
+    aq, qn = front_axis_matrix(src, dst_roi, canvas, lo)
+    a_res = resize_matrix(src, dst_roi, False, True)
+    full = np.zeros((canvas, src), np.float32)           # letterboxed canvas
+    full[lo:lo + dst_roi] = a_res
+    for a in (0, 1):
+        for i in range(qn):
+            r = 2 * i + a - 4
+            row = aq[a * qn + i]
+            if -2 <= r <= canvas + 1:
+                rr = abs(r) if r < 0 else (2 * canvas - 2 - r
+                                           if r >= canvas else r)
+                np.testing.assert_array_equal(row, full[rr], err_msg=f"r={r}")
+            else:
+                assert not row.any(), f"halo row r={r} must be zero"
+
+
+def test_quadrant_upscale_matrices_match_fold_blur():
+    """The phase-factored post operator must reproduce blur∘resize∘crop on
+    a quadrantized EMA exactly (same f32 taps, reindexed)."""
+    from backscrub_tpu.ops.misc import resize_matrix
+    from backscrub_tpu.pipeline.image import blur_matrix
+
+    xh, xw = 48, 80
+    crop_y, crop_x, crop_h, crop_w = 3, 0, 90, 160
+    up_h, up_w = 360, 640
+    ahq, awq = quadrant_upscale_matrices(xh, xw, crop_y, crop_x,
+                                         crop_h, crop_w, up_h, up_w)
+    rng = np.random.default_rng(3)
+    ema = rng.integers(0, 256, (2 * xh, 2 * xw), np.uint8)
+    # quadrant [a, b, i, j] = ema[2i+a, 2j+b]
+    emaq = ema.reshape(xh, 2, xw, 2).transpose(1, 3, 0, 2)
+    ah = (blur_matrix(up_h, 5).astype(np.float64)
+          @ resize_matrix(crop_h, up_h, False, True).astype(np.float64)
+          ).astype(np.float32)
+    aw = (blur_matrix(up_w, 5).astype(np.float64)
+          @ resize_matrix(crop_w, up_w, False, True).astype(np.float64)
+          ).astype(np.float32)
+    small = ema[crop_y:crop_y + crop_h, crop_x:crop_x + crop_w]
+    want = ah @ small.astype(np.float32) @ aw.T
+    got = np.einsum("oah,abhw,pbw->op", ahq, emaq.astype(np.float32), awq)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+
+def test_detect_edge_all_families():
+    """Every bundled family fuses at least the front; the 2x2/s2 tail
+    fuses on the Meet + MLKit models."""
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.graph.executor import load_model
+
+    expect_tail = {
+        "segm_lite_v681.tflite": True,
+        "segm_full_v679.tflite": True,
+        "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite": True,
+        "deeplabv3_257_mv_gpu.tflite": False,
+        "body-pix-float-050-8.tflite": False,
+    }
+    for name, tail in expect_tail.items():
+        path = model_path(name)
+        model = load_model(path)
+        info = detect_edge(model, spec_for_model(path))
+        assert info is not None and info.front_ok, name
+        assert info.tail_ok == tail, name
