@@ -301,38 +301,68 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
     return outs
 
 
-def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, **kw):
+def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, widen_ref=None, **kw):
     outs = _front_compute(z_ref[0], w_ref, **kw)
     for o, plane in enumerate(outs):
         if out_layout == "nhwc":
             out_ref[0, :, :, o] = plane.astype(out_ref.dtype)
+        elif out_layout == "rowpad":
+            # (oh, rs) row-padded plane: a (ow, rs) 0/1 embedding matmul
+            # (exact at HIGHEST — f32 splits into 3 bf16 terms losslessly
+            # and 0/1 columns just copy) widens the plane with whole-tile
+            # stores; jnp.pad here lowers to a lane-misaligned concatenate
+            # that crashes Mosaic.  Feeds the body megakernel's
+            # (c, rows*rs) layout via a free XLA reshape.
+            out_ref[0, o] = jax.lax.dot(
+                plane, widen_ref[...], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
         else:
             out_ref[0, o] = plane.astype(out_ref.dtype)
 
 
 def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
                      use_bilateral, scale, offset, pad_lo_h, pad_lo_w,
-                     activation, out_layout, out_dtype, interpret=False):
+                     activation, out_layout, out_dtype, interpret=False,
+                     rs=128):
     """zt: (N, 3, 2qh, 2qw) f32, w_flat (28, Cout) [27 taps + bias row]
-    -> (N, oh, ow, C) or (N, C, oh, ow)."""
+    -> (N, oh, ow, C), (N, C, oh, ow), or rowpad (N, C, oh, rs)."""
     n = zt.shape[0]
     cout = w_flat.shape[1]
-    oshape = (n, oh, ow, cout) if out_layout == "nhwc" else (n, cout, oh, ow)
+    if out_layout == "nhwc":
+        oshape = (n, oh, ow, cout)
+    elif out_layout == "rowpad":
+        oshape = (n, cout, oh, rs)
+    else:
+        oshape = (n, cout, oh, ow)
     blk = (1,) + oshape[1:]
-    kern = functools.partial(
-        _front_kernel, qh=qh, qw=qw, H=H, W=W, oh=oh, ow=ow, cout=cout,
-        taps=tuple(taps), inv2sc=inv2sc, use_bilateral=use_bilateral,
-        scale=scale, offset=offset, pad_lo_h=pad_lo_h, pad_lo_w=pad_lo_w,
-        activation=activation, out_layout=out_layout)
+    extra_args = []
+    in_specs = [
+        pl.BlockSpec((1, 3, 2 * qh, 2 * qw), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((28, cout), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    if out_layout == "rowpad":
+        widen = np.zeros((ow, rs), np.float32)
+        widen[np.arange(ow), np.arange(ow)] = 1.0
+        extra_args.append(widen)
+        in_specs.append(pl.BlockSpec((ow, rs), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def kern(z_ref, w_ref, *rest):
+        widen_ref = rest[0] if out_layout == "rowpad" else None
+        out_ref = rest[-1]
+        _front_kernel(
+            z_ref, w_ref, out_ref, qh=qh, qw=qw, H=H, W=W, oh=oh, ow=ow,
+            cout=cout, taps=tuple(taps), inv2sc=inv2sc,
+            use_bilateral=use_bilateral, scale=scale, offset=offset,
+            pad_lo_h=pad_lo_h, pad_lo_w=pad_lo_w, activation=activation,
+            out_layout=out_layout, widen_ref=widen_ref)
+
     return pl.pallas_call(
         kern,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, 2 * qh, 2 * qw), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((28, cout), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(oshape, out_dtype),
@@ -343,7 +373,7 @@ def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(zt, w_flat)
+    )(zt, w_flat, *extra_args)
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +439,8 @@ class EdgeFused:
                  info: Optional[EdgeInfo] = None, *,
                  use_bilateral: bool = True, precision=None,
                  interpret: bool = False, refine: str = "box",
-                 morph: str = "", u8_exact: bool = False):
+                 morph: str = "", u8_exact: bool = False,
+                 mega: Optional[bool] = None):
         from .maskgen import _resize_precision
         self.model = model
         self.geo = geo
@@ -468,15 +499,27 @@ class EdgeFused:
             self.post_ahq, self.post_awq = quadrant_upscale_matrices(
                 self.xh, self.xw, o.y, o.x, o.h, o.w, geo.roi.h, geo.roi.w)
 
-        # body span: a partial trace of nodes[start:end]
-        self._body = _make_span_fn(model, info.body_start, info.body_end,
-                                   info.body_in_tensor, info.body_out_tensor)
+        # body: one Pallas megakernel when the whole span qualifies
+        # (ops/megakernel.py — ~29% faster than the XLA lowerings and it
+        # kills the grouped-conv batch pathology), else a partial trace of
+        # nodes[start:end] through the standard lowerings
+        self.mega = None
+        if info.front_ok and info.tail_ok and mega is not False:
+            from ..ops.megakernel import body_mega_for
+            self.mega = body_mega_for(model, info, interpret=interpret)
+            if self.mega is None and mega:
+                raise ValueError("mega=True but the body span does not "
+                                 "qualify for the megakernel")
+        self._body = (None if self.mega is not None else
+                      _make_span_fn(model, info.body_start, info.body_end,
+                                    info.body_in_tensor, info.body_out_tensor))
         # How the front kernel emits the body input.  "chw" writes Cout
         # full planes (clean VMEM stores) and lets XLA transpose to NHWC
         # outside; "nhwc" writes lane-strided per-channel columns inside
         # the kernel — measured 17-21 us slower on v5e (the store pattern,
-        # not the compute, dominates).
-        self.front_layout = "chw"
+        # not the compute, dominates).  "rowpad" feeds the megakernel's
+        # (c, rows*rs) layout directly.
+        self.front_layout = "rowpad" if self.mega is not None else "chw"
 
     @property
     def ema_shape(self):
@@ -513,13 +556,20 @@ class EdgeFused:
             scale=float(self.spec.scale), offset=float(self.spec.offset),
             pad_lo_h=info.pad_lo_h, pad_lo_w=info.pad_lo_w,
             activation=info.front_activation, out_layout=self.front_layout,
-            out_dtype=self.model.compute_dtype, interpret=self.interpret)
-        if self.front_layout == "chw":
+            out_dtype=self.model.compute_dtype, interpret=self.interpret,
+            rs=self.mega.rs if self.mega is not None else 128)
+        if self.front_layout == "rowpad":
+            # (N, C, oh, rs) -> (N, C, oh*rs): contiguous, free in XLA
+            out = out.reshape(out.shape[:2] + (-1,))
+        elif self.front_layout == "chw":
             out = jnp.moveaxis(out, -3, -1)
         return out.reshape(lead + out.shape[1:])
 
     # -- body -------------------------------------------------------------
     def body(self, params, h):
+        if self.mega is not None:
+            # params are baked into the megakernel (like the edge weights)
+            return self.mega(h)
         lead = h.shape[:-3]
         hb = h.reshape((-1,) + h.shape[-3:])
         out = self._body(params, hb)
@@ -531,6 +581,19 @@ class EdgeFused:
         xw) -> new quadrant EMA.  One phase-major dot + decode + the EMA
         bit trick of lib/libbackscrub.cc:330,342-357 — all on well-tiled
         spatial-minor arrays."""
+        if self.mega is not None:
+            # rowpad (..., K, xh*rs) -> (..., K, xh, xw) channels-leading
+            rs = self.mega.rs
+            body_out = body_out.reshape(body_out.shape[:-1]
+                                        + (self.xh, rs))[..., :self.xw]
+            dq = jnp.einsum("pk,...khw->...phw", jnp.asarray(self.tail_wd),
+                            body_out.astype(jnp.float32),
+                            precision=self.model.precision_setting)
+            dq = dq + jnp.asarray(self.tail_bd)[:, None, None]
+            dq = dq.reshape(dq.shape[:-3] + (2, 2) + dq.shape[-2:])
+            val = jnp.where(dq > self.info.tail_threshold,
+                            jnp.uint8(0), jnp.uint8(255))
+            return ((val & jnp.uint8(0xE0)) | (ema_q >> 3)).astype(jnp.uint8)
         dq = jnp.einsum("pk,...hwk->...phw", jnp.asarray(self.tail_wd),
                         body_out.astype(jnp.float32),
                         precision=self.model.precision_setting)

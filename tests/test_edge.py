@@ -157,6 +157,58 @@ def test_quadrant_upscale_matrices_match_fold_blur():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
 
 
+def test_body_megakernel_span_parity():
+    """The single-Pallas-program body (ops/megakernel.py, interpret mode)
+    must match the classic span lowerings on random activations."""
+    import jax
+    import jax.numpy as jnp
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.pipeline.edge import detect_edge, _make_span_fn
+    from backscrub_tpu.ops.megakernel import body_mega_for
+
+    path = model_path("segm_lite_v681.tflite")
+    model = load_model(path)
+    info = detect_edge(model, spec_for_model(path))
+    mega = body_mega_for(model, info, interpret=True)
+    assert mega is not None
+    rs, im, om = mega.rs, mega.in_meta, mega.out_meta
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, im.rows, im.w, im.c)) * 2).astype(np.float32)
+    span = _make_span_fn(model, info.body_start, info.body_end,
+                         info.body_in_tensor, info.body_out_tensor)
+    ref = np.asarray(jax.jit(span)(model.params, jnp.asarray(x)))[0]
+    xr = np.zeros((im.c, im.rows * rs), np.float32)
+    for i in range(im.rows):
+        xr[:, i * rs:i * rs + im.w] = x[0, i].T
+    out = np.asarray(jax.jit(mega)(jnp.asarray(xr)))
+    got = np.stack([out[:, i * rs + np.arange(om.w) * om.sp].T
+                    for i in range(om.rows)])
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+    # pad lanes must be clean zeros (the rowpad invariant)
+    mask = np.zeros(om.rows * rs, bool)
+    for i in range(om.rows):
+        mask[i * rs + np.arange(om.w) * om.sp] = True
+    assert not np.abs(out[:, ~mask]).any()
+
+
+def test_megakernel_gating():
+    """bf16 compute and front-only spans keep the megakernel off."""
+    import jax.numpy as jnp
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.pipeline.edge import detect_edge
+    from backscrub_tpu.ops.megakernel import body_mega_for
+
+    path = model_path("segm_lite_v681.tflite")
+    m16 = load_model(path, compute_dtype=jnp.bfloat16)
+    info = detect_edge(m16, spec_for_model(path))
+    assert body_mega_for(m16, info, interpret=True) is None
+    # MaskGen with guided refine: tail off -> no mega, edge still on
+    mg = MaskGen(path, 640, 480, edge_fused=True, refine="guided")
+    assert mg.edge.mega is None
+
+
 def test_detect_edge_all_families():
     """Every bundled family fuses at least the front; the 2x2/s2 tail
     fuses on the Meet + MLKit models."""
