@@ -60,7 +60,8 @@ def test_distill_example_runs(tmp_path):
     fine-tune -> checkpoint/resume -> export) completes and improves
     teacher agreement."""
     out = str(tmp_path / "student.tflite")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               BACKSCRUB_TPU_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "examples/distill.py", "6", out],
         capture_output=True, text=True, timeout=600, env=env,
@@ -72,7 +73,8 @@ def test_distill_example_runs(tmp_path):
 
 def test_minimal_demo_runs(tmp_path):
     out = str(tmp_path / "demo.png")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               BACKSCRUB_TPU_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "examples/minimal_demo.py", SCREENSHOT,
          background_image_path(), out],

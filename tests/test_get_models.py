@@ -68,7 +68,8 @@ def test_cli_from_dir(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "get_models.py"),
          "--from-dir", src_dir, "--dest", str(tmp_path), "--only", name],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, BACKSCRUB_TPU_PLATFORM="cpu"))
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / name).exists()
 

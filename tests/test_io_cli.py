@@ -366,7 +366,8 @@ def test_cli_sigterm_graceful(tmp_path):
     record instead of dying mid-write."""
     import json, signal, subprocess, sys as _sys, time, os as _os
     stats = str(tmp_path / "stats.jsonl")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               BACKSCRUB_TPU_PLATFORM="cpu")
     p = subprocess.Popen(
         [_sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
