@@ -64,6 +64,10 @@ class PipelineConfig:
                                      # classic lowerings
     edge_interpret: bool = False     # off-TPU: run the edge kernels in the
                                      # Pallas interpreter (CPU mesh dryrun)
+    edge_mega: Optional[bool] = None  # body megakernel (ops/megakernel.py)
+                                     # inside the edge path. None = auto
+                                     # (on when the span qualifies);
+                                     # False = XLA body lowerings
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -150,6 +154,7 @@ class FramePipeline:
                                morph=config.mask_morph,
                                edge_fused=config.edge_fused,
                                edge_interpret=config.edge_interpret,
+                               edge_mega=config.edge_mega,
                                quantize=quantize)
         self.spec = self.maskgen.spec
         self.geo = self.maskgen.geo

@@ -208,6 +208,7 @@ class MaskGen:
                  quantize=None,
                  edge_fused: Optional[bool] = None,
                  edge_interpret: bool = False,
+                 edge_mega: Optional[bool] = None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
                  onmask: Optional[Callable] = None,
@@ -269,7 +270,7 @@ class MaskGen:
                         self.model, self.geo, self.spec, info,
                         use_bilateral=use_bilateral, precision=precision,
                         interpret=not _on_tpu(), refine=refine, morph=morph,
-                        u8_exact=self.u8_exact_post)
+                        u8_exact=self.u8_exact_post, mega=edge_mega)
                 elif edge_fused:
                     raise ValueError(
                         "edge_fused=True but the model/post configuration "

@@ -503,8 +503,10 @@ def run_config_sweep(names=None, merge=False):
                  + list(E2E_CONFIGS) + ["e2e_720p_mjpg"])
     for name in names:
         try:
+            # 2400s: a cold Mosaic compile of the body megakernel takes
+            # ~10 min through the remote-compile tunnel (cached after)
             r = subprocess.run([sys.executable, __file__, "--config", name],
-                               capture_output=True, text=True, timeout=900)
+                               capture_output=True, text=True, timeout=2400)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
             rec = json.loads(line)
             results[name] = {k: v for k, v in rec.items() if k != "config"}
