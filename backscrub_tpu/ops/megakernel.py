@@ -110,7 +110,7 @@ def _grid_mask(meta: _T, rs: int) -> np.ndarray:
 
 
 def _col_resize_terms(a_w: np.ndarray, sp_out: int, sp_in: int, rows: int,
-                      w_out: int, rs: int):
+                      rs: int):
     """Group the column interpolation matrix by lane delta.
 
     Returns [(delta, coefvec(1, rows*RS))]: out_lane = j'*sp_out receives
@@ -225,8 +225,6 @@ class BodyMega:
                 s = o.get("stride_h", 1)
                 if o.get("stride_w", 1) != s or s not in (1, 2):
                     raise Unsupported("dw stride")
-                if m.sp * (fw // 2 + 1) > margin and s == 1:
-                    pass  # reach checked below anyway
                 if m.w * m.sp + (fw - 1) * m.sp > rs:
                     raise Unsupported("dw column reach exceeds row stride")
                 b = bias_of(node)
@@ -301,7 +299,6 @@ class BodyMega:
                                     ms[0].w, ms[0].sp)
             elif k == "RESIZE_BILINEAR":
                 m = self.meta[node.inputs[0]]
-                import numpy as _np
                 size = g.tensor(node.inputs[1]).data
                 if size is None:
                     raise Unsupported("dynamic resize size")
@@ -313,7 +310,7 @@ class BodyMega:
                 a_h = resize_matrix(m.rows, oh, ac, hpc)
                 a_w = resize_matrix(m.w, ow, ac, hpc)
                 om = _T(m.c, oh, ow, m.sp // 2)
-                terms = _col_resize_terms(a_w, om.sp, m.sp, m.rows, ow, rs)
+                terms = _col_resize_terms(a_w, om.sp, m.sp, m.rows, rs)
                 if len(terms) > 6:
                     raise Unsupported("resize tap spread")
                 tids = tuple((d, wref(cv)) for d, cv in terms)
