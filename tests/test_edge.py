@@ -157,7 +157,11 @@ def test_quadrant_upscale_matrices_match_fold_blur():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
 
 
-def test_body_megakernel_span_parity():
+@pytest.mark.parametrize("name", [
+    "segm_lite_v681.tflite",   # row stride 128
+    "segm_full_v679.tflite",   # w=128 rows force row stride 256
+])
+def test_body_megakernel_span_parity(name):
     """The single-Pallas-program body (ops/megakernel.py, interpret mode)
     must match the classic span lowerings on random activations."""
     import jax
@@ -167,7 +171,7 @@ def test_body_megakernel_span_parity():
     from backscrub_tpu.pipeline.edge import detect_edge, _make_span_fn
     from backscrub_tpu.ops.megakernel import body_mega_for
 
-    path = model_path("segm_lite_v681.tflite")
+    path = model_path(name)
     model = load_model(path)
     info = detect_edge(model, spec_for_model(path))
     mega = body_mega_for(model, info, interpret=True)
