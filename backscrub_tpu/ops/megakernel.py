@@ -57,6 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import tflite_same_padding
 from .misc import resize_matrix
 
 SUPPORTED = {
@@ -64,6 +65,10 @@ SUPPORTED = {
     "ADD", "MUL", "RELU", "RELU6", "HARD_SWISH", "LOGISTIC",
     "RESIZE_BILINEAR", "CONCATENATION",
 }
+
+# fused-activation kinds the kernel implements (_act_fn); anything else in
+# a node's options must reject the span at build time, not crash at trace
+ACTIVATIONS = {None, "NONE", "RELU", "RELU6", "HARD_SWISH", "LOGISTIC"}
 
 
 @dataclasses.dataclass
@@ -74,12 +79,6 @@ class _T:
     w: int
     sp: int          # column lane spacing
     vec: bool = False  # (c, 1) pooled vector
-
-
-def _same_pad_lo(in_size: int, k: int, stride: int) -> int:
-    out = -(-in_size // stride)
-    total = max((out - 1) * stride + k - in_size, 0)
-    return total // 2
 
 
 def _act_fn(kind):
@@ -192,6 +191,19 @@ class BodyMega:
                 return np.asarray(b, np.float32)
             return None
 
+        def inmeta(tid) -> _T:
+            # constants and tensors produced outside the span never enter
+            # self.meta — reject the span instead of KeyError-ing
+            if tid not in self.meta:
+                raise Unsupported(f"operand t{tid} not produced in-span")
+            return self.meta[tid]
+
+        def act_of(o) -> str:
+            a = o.get("activation", "NONE")
+            if a not in ACTIVATIONS:
+                raise Unsupported(f"fused activation {a}")
+            return a or "NONE"
+
         for node in g.nodes[start:end]:
             k = node.kind
             if k not in SUPPORTED:
@@ -199,7 +211,7 @@ class BodyMega:
             o = node.options
             out = node.outputs[0]
             if k == "CONV_2D":
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 w = hparam(node.inputs[1], "hwio")  # (fh, fw, ci, co)
                 if w.shape[:2] != (1, 1) or o.get("stride_h", 1) != 1 \
                         or o.get("stride_w", 1) != 1:
@@ -213,10 +225,10 @@ class BodyMega:
                       else _T(co, m.rows, m.w, m.sp))
                 mi = -1 if m.vec else mask_ref(om)
                 self.plan.append(("conv1x1", node.inputs[0], out, wi, bi,
-                                  o.get("activation", "NONE"), mi))
+                                  act_of(o), mi))
                 self.meta[out] = om
             elif k == "DEPTHWISE_CONV_2D":
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 if o.get("depth_multiplier", 1) != 1 or m.vec \
                         or o.get("padding") != "SAME":
                     raise Unsupported("dw variant")
@@ -237,11 +249,12 @@ class BodyMega:
                     om = _T(m.c, -(-m.rows // 2), -(-m.w // 2), m.sp * 2)
                 self.plan.append((
                     "dw", node.inputs[0], out, wi, bi, fh, fw, s,
-                    _same_pad_lo(m.rows, fh, s), _same_pad_lo(m.w, fw, s),
-                    o.get("activation", "NONE"), mask_ref(om)))
+                    tflite_same_padding(m.rows, fh, s)[0],
+                    tflite_same_padding(m.w, fw, s)[0],
+                    act_of(o), mask_ref(om)))
                 self.meta[out] = om
             elif k == "FULLY_CONNECTED":
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 if not m.vec:
                     raise Unsupported("FC on spatial tensor")
                 w = hparam(node.inputs[1], "ko")   # (K, O)
@@ -251,26 +264,32 @@ class BodyMega:
                 bi = wref((b if b is not None
                            else np.zeros(co)).reshape(co, 1))
                 self.plan.append(("conv1x1", node.inputs[0], out, wi, bi,
-                                  o.get("activation", "NONE"), -1))
+                                  act_of(o), -1))
                 self.meta[out] = _T(co, 1, 1, 1, vec=True)
             elif k == "AVERAGE_POOL_2D":
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 if m.vec or o.get("padding") != "VALID" \
                         or (o.get("filter_h"), o.get("filter_w")) != (m.rows, m.w):
                     raise Unsupported("non-global pool")
                 self.plan.append(("gpool", node.inputs[0], out,
-                                  mask_ref(m), 1.0 / (m.rows * m.w)))
+                                  mask_ref(m), 1.0 / (m.rows * m.w),
+                                  act_of(o)))
                 self.meta[out] = _T(m.c, 1, 1, 1, vec=True)
             elif k in ("ADD", "MUL"):
                 a, bb = node.inputs[0], node.inputs[1]
-                ma, mb = self.meta[a], self.meta[bb]
-                act = o.get("activation", "NONE")
+                ma, mb = inmeta(a), inmeta(bb)
+                act = act_of(o)
                 if ma.vec and not mb.vec:
                     a, bb, ma, mb = bb, a, mb, ma
                 if mb.vec and not ma.vec:
                     if mb.c != ma.c:
                         raise Unsupported("broadcast channel mismatch")
-                    self.plan.append(("bingate", k, a, bb, out, act))
+                    # a broadcast ADD (and any non-NONE activation) writes
+                    # the vector's value into the pad lanes — re-mask to
+                    # keep the rowpad zero invariant for DW/pool consumers
+                    mi = (mask_ref(ma) if k == "ADD" or act != "NONE"
+                          else -1)
+                    self.plan.append(("bingate", k, a, bb, out, act, mi))
                     self.meta[out] = ma
                 elif (ma.c, ma.rows, ma.w, ma.sp, ma.vec) == \
                         (mb.c, mb.rows, mb.w, mb.sp, mb.vec):
@@ -279,16 +298,16 @@ class BodyMega:
                 else:
                     raise Unsupported("binary shape mismatch")
             elif k in ("RELU", "RELU6", "HARD_SWISH", "LOGISTIC"):
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 if k == "LOGISTIC" and not m.vec:
                     raise Unsupported("spatial logistic (breaks pad zeros)")
                 self.plan.append(("act", k, node.inputs[0], out))
                 self.meta[out] = m
             elif k == "CONCATENATION":
                 axis = o.get("axis", -1)
-                if axis not in (-1, 3) or o.get("activation", "NONE") != "NONE":
+                if axis not in (-1, 3) or act_of(o) != "NONE":
                     raise Unsupported("concat axis")
-                ms = [self.meta[i] for i in node.inputs]
+                ms = [inmeta(i) for i in node.inputs]
                 if any(m.vec for m in ms) or len({(m.rows, m.w, m.sp)
                                                   for m in ms}) != 1:
                     raise Unsupported("concat operands")
@@ -298,7 +317,7 @@ class BodyMega:
                 self.meta[out] = _T(sum(m.c for m in ms), ms[0].rows,
                                     ms[0].w, ms[0].sp)
             elif k == "RESIZE_BILINEAR":
-                m = self.meta[node.inputs[0]]
+                m = inmeta(node.inputs[0])
                 size = g.tensor(node.inputs[1]).data
                 if size is None:
                     raise Unsupported("dynamic resize size")
@@ -330,6 +349,12 @@ class BodyMega:
         if out_tid not in self.meta:
             raise Unsupported("output tensor not produced by span")
         self.out_meta = self.meta[out_tid]
+        if self.out_meta.vec:
+            raise Unsupported("span output is a pooled vector")
+        if self.out_meta.sp != 1:
+            # consumers (the edge tail) read columns at lane j — an output
+            # left at a coarser spacing would silently interleave zeros
+            raise Unsupported("unbalanced strides: output spacing != 1")
         self.in_meta = in_meta
         # scratch buffers for resize row assembly (kernel mode)
         self._resize_scratch = [
@@ -391,17 +416,20 @@ class BodyMega:
                 y = _act_fn(act)(acc + ws[bi]) * ws[mi]
                 env[tout] = y
             elif op == "gpool":
-                _, tin, tout, mi, inv = p
+                _, tin, tout, mi, inv, act = p
                 y = jnp.sum(env[tin] * ws[mi], axis=1, keepdims=True) * inv
-                env[tout] = y
+                env[tout] = _act_fn(act)(y)
             elif op == "binop":
                 _, k, a, b, tout, act = p
                 f = jnp.add if k == "ADD" else jnp.multiply
                 env[tout] = _act_fn(act)(f(env[a], env[b]))
             elif op == "bingate":
-                _, k, a, b, tout, act = p
+                _, k, a, b, tout, act, mi = p
                 f = jnp.add if k == "ADD" else jnp.multiply
-                env[tout] = _act_fn(act)(f(env[a], env[b]))  # (c,1) broadcast
+                y = _act_fn(act)(f(env[a], env[b]))  # (c,1) broadcast
+                if mi >= 0:  # ADD/activation leaked into pad lanes
+                    y = y * ws[mi]
+                env[tout] = y
             elif op == "act":
                 _, k, tin, tout = p
                 env[tout] = _act_fn(k)(env[tin])
@@ -498,8 +526,13 @@ def body_mega_for(model, info, *, interpret: bool = False) -> Optional[BodyMega]
         # what the bf16 bench mode advertises — keep it
         return None
     try:
-        return BodyMega(model, info.body_start, info.body_end,
+        mega = BodyMega(model, info.body_start, info.body_end,
                         info.body_in_tensor, info.body_out_tensor,
                         interpret=interpret)
     except Unsupported:
         return None
+    # the tail dot consumes (K, xh, xw) at unit spacing
+    oh, ow = model.output_shape[1:3]
+    if (mega.out_meta.rows, mega.out_meta.w) != (oh // 2, ow // 2):
+        return None
+    return mega

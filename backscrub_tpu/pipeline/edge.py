@@ -302,11 +302,11 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
 
 
 def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, widen_ref=None, **kw):
+    # (an "nhwc" layout writing lane-strided per-channel columns was
+    # measured 17-21 us slower and removed — see PERF.md)
     outs = _front_compute(z_ref[0], w_ref, **kw)
     for o, plane in enumerate(outs):
-        if out_layout == "nhwc":
-            out_ref[0, :, :, o] = plane.astype(out_ref.dtype)
-        elif out_layout == "rowpad":
+        if out_layout == "rowpad":
             # (oh, rs) row-padded plane: a (ow, rs) 0/1 embedding matmul
             # (exact at HIGHEST — f32 splits into 3 bf16 terms losslessly
             # and 0/1 columns just copy) widens the plane with whole-tile
@@ -325,12 +325,10 @@ def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
                      activation, out_layout, out_dtype, interpret=False,
                      rs=128):
     """zt: (N, 3, 2qh, 2qw) f32, w_flat (28, Cout) [27 taps + bias row]
-    -> (N, oh, ow, C), (N, C, oh, ow), or rowpad (N, C, oh, rs)."""
+    -> chw (N, C, oh, ow) or rowpad (N, C, oh, rs)."""
     n = zt.shape[0]
     cout = w_flat.shape[1]
-    if out_layout == "nhwc":
-        oshape = (n, oh, ow, cout)
-    elif out_layout == "rowpad":
+    if out_layout == "rowpad":
         oshape = (n, cout, oh, rs)
     else:
         oshape = (n, cout, oh, ow)
@@ -507,9 +505,10 @@ class EdgeFused:
         if info.front_ok and info.tail_ok and mega is not False:
             from ..ops.megakernel import body_mega_for
             self.mega = body_mega_for(model, info, interpret=interpret)
-            if self.mega is None and mega:
-                raise ValueError("mega=True but the body span does not "
-                                 "qualify for the megakernel")
+        if mega and self.mega is None:
+            raise ValueError("mega=True but the body span does not qualify "
+                             "for the megakernel (needs both fused edge "
+                             "layers, f32 compute, and a supported op span)")
         self._body = (None if self.mega is not None else
                       _make_span_fn(model, info.body_start, info.body_end,
                                     info.body_in_tensor, info.body_out_tensor))
@@ -589,14 +588,10 @@ class EdgeFused:
             dq = jnp.einsum("pk,...khw->...phw", jnp.asarray(self.tail_wd),
                             body_out.astype(jnp.float32),
                             precision=self.model.precision_setting)
-            dq = dq + jnp.asarray(self.tail_bd)[:, None, None]
-            dq = dq.reshape(dq.shape[:-3] + (2, 2) + dq.shape[-2:])
-            val = jnp.where(dq > self.info.tail_threshold,
-                            jnp.uint8(0), jnp.uint8(255))
-            return ((val & jnp.uint8(0xE0)) | (ema_q >> 3)).astype(jnp.uint8)
-        dq = jnp.einsum("pk,...hwk->...phw", jnp.asarray(self.tail_wd),
-                        body_out.astype(jnp.float32),
-                        precision=self.model.precision_setting)
+        else:
+            dq = jnp.einsum("pk,...hwk->...phw", jnp.asarray(self.tail_wd),
+                            body_out.astype(jnp.float32),
+                            precision=self.model.precision_setting)
         dq = dq + jnp.asarray(self.tail_bd)[:, None, None]
         # (..., 4, xh, xw) -> (..., 2, 2, xh, xw): major-dim split, no
         # tile change, free under XLA

@@ -266,6 +266,8 @@ def classify(info: HloInfo | None, name: str) -> str:
     """Pipeline stage from jax source metadata (best effort)."""
     # name-based classes first: Pallas custom calls and the measurement
     # harness have no (or misleading) HLO metadata
+    if info is not None and "megakernel.py" in info.source:
+        return "cnn"  # the body megakernel custom call IS the CNN
     if "blend_pack" in name or "bilateral5_pallas" in name or "pallas" in name:
         return "pallas-kernels"
     if name.startswith(("dynamic-slice", "dynamic_slice",
