@@ -196,6 +196,68 @@ def test_body_megakernel_span_parity(name):
     assert not np.abs(out[:, ~mask]).any()
 
 
+def test_megakernel_synthetic_pool_act_and_broadcast_add():
+    """Paths no bundled model hits: a global pool with a fused activation
+    and a broadcast ADD gate (which leaks the vector value into pad lanes
+    that the following depthwise SAME border must read as zero)."""
+    import jax
+    import jax.numpy as jnp
+    from backscrub_tpu.tflite.ir import GraphIR, NodeIR, TensorIR
+    from backscrub_tpu.graph.executor import build_model
+    from backscrub_tpu.pipeline.edge import _make_span_fn
+    from backscrub_tpu.ops.megakernel import BodyMega
+
+    rng = np.random.default_rng(5)
+    C, H, W = 8, 8, 8
+
+    def t(i, name, shape, data=None):
+        return TensorIR(i, name, tuple(shape), np.float32,
+                        None if data is None else data.astype(np.float32))
+
+    tensors = [
+        t(0, "in", (1, H, W, C)),
+        t(1, "w1", (C, 1, 1, C), rng.standard_normal((C, 1, 1, C))),
+        t(2, "b1", (C,), rng.standard_normal(C)),
+        t(3, "conv", (1, H, W, C)),
+        t(4, "pool", (1, 1, 1, C)),
+        t(5, "wfc", (C, C), rng.standard_normal((C, C))),
+        t(6, "bfc", (C,), rng.standard_normal(C)),
+        t(7, "fc", (1, 1, 1, C)),
+        t(8, "sum", (1, H, W, C)),
+        t(9, "wdw", (1, 3, 3, C), rng.standard_normal((1, 3, 3, C))),
+        t(10, "bdw", (C,), rng.standard_normal(C)),
+        t(11, "out", (1, H, W, C)),
+    ]
+    nodes = [
+        NodeIR("CONV_2D", [0, 1, 2], [3],
+               dict(stride_h=1, stride_w=1, padding="SAME",
+                    activation="RELU6")),
+        NodeIR("AVERAGE_POOL_2D", [3], [4],
+               dict(filter_h=H, filter_w=W, stride_h=H, stride_w=W,
+                    padding="VALID", activation="RELU")),
+        NodeIR("FULLY_CONNECTED", [4, 5, 6], [7],
+               dict(activation="NONE", keep_num_dims=True)),
+        NodeIR("ADD", [3, 7], [8], dict(activation="NONE")),
+        NodeIR("DEPTHWISE_CONV_2D", [8, 9, 10], [11],
+               dict(stride_h=1, stride_w=1, padding="SAME",
+                    depth_multiplier=1, activation="NONE")),
+    ]
+    g = GraphIR("synth", tensors, nodes, [0], [11])
+    model = build_model(g, jit=False)
+    span = _make_span_fn(model, 0, len(nodes), 0, 11)
+    x = rng.standard_normal((1, H, W, C)).astype(np.float32)
+    ref = np.asarray(jax.jit(span)(model.params, jnp.asarray(x)))[0]
+
+    mega = BodyMega(model, 0, len(nodes), 0, 11, interpret=True)
+    rs = mega.rs
+    xr = np.zeros((C, H * rs), np.float32)
+    for i in range(H):
+        xr[:, i * rs:i * rs + W] = x[0, i].T
+    out = np.asarray(jax.jit(mega)(jnp.asarray(xr)))
+    got = np.stack([out[:, i * rs:i * rs + W].T for i in range(H)])
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_megakernel_gating():
     """bf16 compute and front-only spans keep the megakernel off."""
     import jax.numpy as jnp
