@@ -160,6 +160,11 @@ def main(argv=None) -> int:
     ap.add_argument("--sigterm", action="store_true",
                     help="send SIGTERM to this process halfway through")
     ap.add_argument("--report", default="soak_report.json")
+    ap.add_argument("--edge", action="store_true",
+                    help="force the fused edge path (+ megakernel when the "
+                    "span qualifies) — on CPU this runs the Pallas kernels "
+                    "in interpret mode and carries the quadrant EMA, "
+                    "soaking the exact program shape the TPU ships")
     args = ap.parse_args(argv)
 
     import jax
@@ -176,7 +181,10 @@ def main(argv=None) -> int:
     mesh = make_mesh(n_dev)
     da = mesh.shape["data"]
     S = (max(args.slots, da) + da - 1) // da * da
-    cfg = PipelineConfig(width=w, height=h)
+    cfg = PipelineConfig(width=w, height=h,
+                         **(dict(edge_fused=True, edge_interpret=True,
+                                 pack_interpret=True)
+                            if args.edge else {}))
     ms = MultiStreamPipeline(path, cfg, S, mesh)
     verifier = Verifier(FramePipeline(path, cfg))
 
