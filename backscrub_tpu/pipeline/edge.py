@@ -508,7 +508,7 @@ class EdgeFused:
         if mega and self.mega is None:
             raise ValueError("mega=True but the body span does not qualify "
                              "for the megakernel (needs both fused edge "
-                             "layers, f32 compute, and a supported op span)")
+                             "layers and a supported op span)")
         self._body = (None if self.mega is not None else
                       _make_span_fn(model, info.body_start, info.body_end,
                                     info.body_in_tensor, info.body_out_tensor))
@@ -555,7 +555,12 @@ class EdgeFused:
             scale=float(self.spec.scale), offset=float(self.spec.offset),
             pad_lo_h=info.pad_lo_h, pad_lo_w=info.pad_lo_w,
             activation=info.front_activation, out_layout=self.front_layout,
-            out_dtype=self.model.compute_dtype, interpret=self.interpret,
+            # the megakernel consumes f32 rowpad regardless of compute
+            # dtype (it casts internally); emitting bf16 here would only
+            # add a round-trip the kernel undoes
+            out_dtype=(jnp.float32 if self.front_layout == "rowpad"
+                       else self.model.compute_dtype),
+            interpret=self.interpret,
             rs=self.mega.rs if self.mega is not None else 128)
         if self.front_layout == "rowpad":
             # (N, C, oh, rs) -> (N, C, oh*rs): contiguous, free in XLA

@@ -599,9 +599,32 @@ def run_parity_check():
         edge_ok = edge_ok and ok
     print(f"  fused edge path within tolerance of classic lowerings: "
           f"{edge_ok}", file=sys.stderr)
+    # bf16 mode with the body megakernel (f32-storage kernel, DEFAULT-
+    # precision dots) vs the bf16 XLA body: same tolerance invariant —
+    # the mega tracks the f32 truth at least as well as the bf16 body
+    # (tests/test_edge.py quantifies this), so differences are isolated
+    # decode flips, not drift
+    import jax.numpy as _jnp
+    bkw = dict(width=640, height=480, edge_fused=True)
+    b_on = FramePipeline(mp, PipelineConfig(edge_mega=True, **bkw),
+                         compute_dtype=_jnp.bfloat16,
+                         precision=jax.lax.Precision.DEFAULT)
+    b_off = FramePipeline(mp, PipelineConfig(edge_mega=False, **bkw),
+                          compute_dtype=_jnp.bfloat16,
+                          precision=jax.lax.Precision.DEFAULT)
+    bgframe = np.roll(frame, 7, axis=1).copy()
+    bf16_ok = True
+    for _ in range(3):
+        m_on = np.asarray(b_on.step(frame, bgframe)[1])
+        m_off = np.asarray(b_off.step(frame, bgframe)[1])
+        # bf16 decode flips are isolated pixels (possibly full-range in
+        # the pre-EMA byte), so gate on the differing fraction only
+        bf16_ok = bf16_ok and (m_on != m_off).mean() <= 0.02
+    print(f"  bf16 body megakernel within tolerance of bf16 XLA body: "
+          f"{bf16_ok}", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
                       "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
-    sys.exit(0 if worst >= 0.99 and pack_ok and edge_ok else 1)
+    sys.exit(0 if worst >= 0.99 and pack_ok and edge_ok and bf16_ok else 1)
 
 
 def run_attrib():

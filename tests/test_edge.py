@@ -259,17 +259,52 @@ def test_megakernel_synthetic_pool_act_and_broadcast_add():
 
 
 def test_megakernel_gating():
-    """bf16 compute and front-only spans keep the megakernel off."""
+    """Front-only spans keep the megakernel off; bf16 compute builds it
+    (f32-storage kernel, dots at the model's DEFAULT precision = the bf16
+    body's matmul class) and still matches the f32 span lowerings."""
+    import jax
     import jax.numpy as jnp
     from backscrub_tpu.graph.executor import load_model
     from backscrub_tpu.models.specs import spec_for_model
-    from backscrub_tpu.pipeline.edge import detect_edge
+    from backscrub_tpu.pipeline.edge import detect_edge, _make_span_fn
     from backscrub_tpu.ops.megakernel import body_mega_for
 
     path = model_path("segm_lite_v681.tflite")
-    m16 = load_model(path, compute_dtype=jnp.bfloat16)
+    m16 = load_model(path, compute_dtype=jnp.bfloat16,
+                     precision=jax.lax.Precision.DEFAULT)
     info = detect_edge(m16, spec_for_model(path))
-    assert body_mega_for(m16, info, interpret=True) is None
+    mega = body_mega_for(m16, info, interpret=True)
+    assert mega is not None
+    # The bf16 model's weights are bf16-rounded, so exact f32 parity is
+    # impossible by construction; the honest gate is that the mega tracks
+    # the f32 truth AT LEAST as well as the bf16 XLA span it replaces
+    # (f32 storage beats per-layer bf16 activation rounding), and within
+    # a bf16-class absolute bound.  On-TPU mask parity for bf16 mode is
+    # gated by bench --parity like the rest of the mode.
+    m32 = load_model(path)
+    rs, im, om = mega.rs, mega.in_meta, mega.out_meta
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((1, im.rows, im.w, im.c)) * 2).astype(np.float32)
+
+    def span_out(model):
+        span = _make_span_fn(model, info.body_start, info.body_end,
+                             info.body_in_tensor, info.body_out_tensor)
+        return np.asarray(jax.jit(span)(model.params, jnp.asarray(x))
+                          ).astype(np.float32)[0]
+
+    ref32, ref16 = span_out(m32), span_out(m16)
+    xr = np.zeros((im.c, im.rows * rs), np.float32)
+    for i in range(im.rows):
+        xr[:, i * rs:i * rs + im.w] = x[0, i].T
+    out = np.asarray(jax.jit(mega)(jnp.asarray(xr)))
+    got = np.stack([out[:, i * rs + np.arange(om.w) * om.sp].T
+                    for i in range(om.rows)])
+    err_mega = np.abs(got - ref32)
+    err_bf16 = np.abs(ref16 - ref32)
+    assert err_mega.mean() <= err_bf16.mean() * 1.05, \
+        (err_mega.mean(), err_bf16.mean())
+    assert err_mega.max() <= max(2.0, err_bf16.max() * 1.1), \
+        (err_mega.max(), err_bf16.max())
     # MaskGen with guided refine: tail off -> no mega, edge still on
     mg = MaskGen(path, 640, 480, edge_fused=True, refine="guided")
     assert mg.edge.mega is None
