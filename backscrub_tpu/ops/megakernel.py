@@ -370,13 +370,25 @@ class BodyMega:
         rs = self.rs
         env = {self.in_tid: x}
         prec = self.model.precision_setting
+        # Interpret mode runs on CPU, where DEFAULT-precision dots compute
+        # in full f32; the real MXU truncates f32 inputs to bf16 at
+        # DEFAULT.  Simulate that input rounding so interpret-mode
+        # accuracy gates see the on-device numerics (they were optimistic
+        # before: the bf16 megakernel gate never exercised the truncation).
+        if self.interpret and prec not in (jax.lax.Precision.HIGHEST,
+                                           jax.lax.Precision.HIGH):
+            def dot_in(a):
+                return a.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            def dot_in(a):
+                return a
         si = 0
         for p in self.plan:
             op = p[0]
             if op == "conv1x1":
                 _, tin, tout, wi, bi, act, mi = p
                 y = jax.lax.dot_general(
-                    ws[wi], env[tin], (((1,), (0,)), ((), ())),
+                    dot_in(ws[wi]), dot_in(env[tin]), (((1,), (0,)), ((), ())),
                     precision=prec, preferred_element_type=jnp.float32)
                 y = _act_fn(act)(y + ws[bi])
                 if mi >= 0:
@@ -520,6 +532,12 @@ def body_mega_for(model, info, *, interpret: bool = False) -> Optional[BodyMega]
     Requires both fused edge layers (the rowpad bridge assumes the front
     kernel feeds it and the tail dot consumes it)."""
     if not (info.front_ok and info.tail_ok):
+        return None
+    # Defense in depth: the kernel casts host params straight to f32 and
+    # would silently skip an int8 weight's __scale dequant.  MaskGen never
+    # routes quantized models here (edge_applicable gates on quantize), but
+    # a direct EdgeFused construction has no such guard.
+    if getattr(model, "quantize_mode", None):
         return None
     # bf16 mode runs the same f32-storage kernel: its dots execute at the
     # model's precision setting (DEFAULT = one bf16 MXU pass, exactly the

@@ -426,15 +426,20 @@ class MultiGeometryServer:
     stream — N reference processes each pick their own ``-m``
     (app/deepseg.cc:540), so per-stream models bucket the same way
     per-stream geometries do.
+
+    Bucket membership is ELASTIC all the way up: :meth:`attach` with a
+    (model, geometry) that has no bucket builds one at runtime — the new
+    pipeline compiles and warms OFF the tick path (one discarded dummy
+    dispatch before the bucket is spliced into the loop), so existing
+    buckets' ticks never stall on a compile; :meth:`detach` frees the
+    slot and retires a bucket whose last stream left.  A camera
+    connecting is a slot update even when its geometry is novel.
     """
 
     def __init__(self, model: str, config, streams: Sequence[tuple],
                  mesh, *, threaded: bool = False, depth: int = 2,
                  stall_timeout: Optional[float] = None,
                  keep_alive: bool = False, **pipe_kwargs):
-        import dataclasses
-        import math
-
         groups = {}
         for entry in streams:
             src, sink, w, h = entry[:4]
@@ -444,49 +449,160 @@ class MultiGeometryServer:
             key = (smodel, w, h,
                    jinfo.sampling if jinfo is not None else None)
             groups.setdefault(key, (jinfo, []))[1].append((src, sink, bg))
-        data_axis = mesh.shape["data"]
+        self._mesh = mesh
+        self._model = model
+        self._config = config
+        self._pipe_kwargs = pipe_kwargs
+        self._threaded = threaded
+        self._depth = depth
+        self._keep_alive = keep_alive
+        self._lock = threading.Lock()
+        self._started = False
         self.servers: List[MultiStreamServer] = []
-        for (smodel, w, h, _skey), (jinfo, members) in groups.items():
-            cfg = dataclasses.replace(
-                config, width=w, height=h, out_width=w, out_height=h,
-                input_format="mjpg" if jinfo is not None else config.input_format,
-                jpeg_info=jinfo if jinfo is not None else config.jpeg_info)
-            n_slots = math.ceil(len(members) / data_axis) * data_axis
-            ms = MultiStreamPipeline(smodel, cfg, n_slots, mesh, **pipe_kwargs)
+        self._keys: List[tuple] = []  # parallel to self.servers
+        for key, (jinfo, members) in groups.items():
+            srv = self._build_bucket(key, jinfo, len(members))
             bgs = None
             if any(m[2] is not None for m in members):
-                green = np.asarray(ms.pipe.green)
+                green = np.asarray(srv.ms.pipe.green)
                 bgs = np.stack([m[2] if m[2] is not None else green
                                 for m in members])
-            self.servers.append(MultiStreamServer(
-                ms, [m[0] for m in members], [m[1] for m in members],
-                backgrounds=bgs, threaded=threaded, depth=depth,
-                stall_timeout=stall_timeout, keep_alive=keep_alive))
+            # occupy the initial slots (ctor-equivalent of attach)
+            srv.sources[:len(members)] = [m[0] for m in members]
+            srv.sinks[:len(members)] = [m[1] for m in members]
+            srv._live[:len(members)] = [True] * len(members)
+            srv.n_real = len(members)
+            if bgs is not None:
+                srv._bg_host = srv._pad_batch(bgs).copy()
+                srv.backgrounds = jax.device_put(srv._bg_host,
+                                                 srv.ms._batch_sharding)
+            self.servers.append(srv)
+            self._keys.append(key)
         self.stall_timeout = stall_timeout
+
+    def _build_bucket(self, key: tuple, jinfo, n_members: int
+                      ) -> MultiStreamServer:
+        """Compile a bucket for (model, w, h, sampling) with room for
+        ``n_members`` streams (rounded up to the mesh data axis); the
+        server starts with every slot FREE — callers occupy slots via
+        attach or the ctor."""
+        import dataclasses
+        import math
+
+        smodel, w, h, _sampling = key
+        cfg = dataclasses.replace(
+            self._config, width=w, height=h, out_width=w, out_height=h,
+            input_format=("mjpg" if jinfo is not None
+                          else self._config.input_format),
+            jpeg_info=jinfo if jinfo is not None else self._config.jpeg_info)
+        data_axis = self._mesh.shape["data"]
+        n_slots = math.ceil(max(n_members, 1) / data_axis) * data_axis
+        ms = MultiStreamPipeline(smodel, cfg, n_slots, self._mesh,
+                                 **self._pipe_kwargs)
+        return MultiStreamServer(
+            ms, [], [], backgrounds=None, threaded=self._threaded,
+            depth=self._depth, stall_timeout=self.stall_timeout
+            if hasattr(self, "stall_timeout") else None,
+            keep_alive=self._keep_alive)
 
     @property
     def n_groups(self) -> int:
         return len(self.servers)
 
+    # -- elastic membership (bucket level) -----------------------------------
+    def attach(self, source: Callable[[], Optional[np.ndarray]],
+               sink: Callable[[np.ndarray], None],
+               width: int, height: int, *,
+               background: Optional[np.ndarray] = None,
+               jpeg_info=None, model: Optional[str] = None) -> tuple:
+        """Attach a stream at runtime, creating its (model, geometry)
+        bucket if none exists yet.
+
+        New-bucket creation happens OFF the tick path: the pipeline is
+        built and its batched step compiled + warmed with one discarded
+        dummy dispatch *before* the bucket is spliced into the serving
+        loop, so concurrent ticks of existing buckets never stall on a
+        compile.  Returns an opaque handle for :meth:`detach`."""
+        smodel = model or self._model
+        key = (smodel, width, height,
+               jpeg_info.sampling if jpeg_info is not None else None)
+        with self._lock:
+            for srv, k in zip(self.servers, self._keys):
+                if k == key:
+                    slot = srv.attach(source, sink, background)
+                    return (srv, slot)
+        # no bucket: build + compile + warm outside the lock (slow path —
+        # existing buckets keep ticking through it)
+        srv = self._build_bucket(key, jpeg_info, 1)
+        srv.ms.step(srv._frames, None)  # forces compile; result discarded
+        with self._lock:
+            # a racing attach may have created the same bucket meanwhile
+            for other, k in zip(self.servers, self._keys):
+                if k == key:
+                    try:
+                        slot = other.attach(source, sink, background)
+                        return (other, slot)
+                    except RuntimeError:
+                        pass  # full — fall through to splice ours
+            slot = srv.attach(source, sink, background)
+            if self._started:
+                srv.start()
+            self.servers.append(srv)
+            self._keys.append(key)
+            return (srv, slot)
+
+    def detach(self, handle: tuple) -> None:
+        """Detach a stream by its :meth:`attach` handle; a bucket whose
+        last stream leaves is retired (its ring flushed, readers stopped,
+        device buffers released) without interrupting other buckets."""
+        srv, slot = handle
+        with self._lock:
+            srv.detach(slot)
+            if any(s is not None for s in srv.sources):
+                return
+            # last stream left: retire the bucket
+            try:
+                i = self.servers.index(srv)
+            except ValueError:
+                return  # already retired
+            self.servers.pop(i)
+            self._keys.pop(i)
+        srv.finish()
+
+    def start(self):
+        with self._lock:
+            self._started = True
+            for s in self.servers:
+                s.start()
+
+    def finish(self):
+        with self._lock:
+            self._started = False
+            servers = list(self.servers)
+        for s in servers:
+            s.finish()
+
     def run(self, frames: int = 0) -> int:
-        """Serve all geometry buckets; returns interleaved tick count."""
-        for s in self.servers:
-            s.start()
-        alive = [True] * len(self.servers)
+        """Serve all geometry buckets; returns interleaved tick count.
+        Buckets attached mid-run join the loop; buckets whose streams all
+        end (non-keep-alive) are retired from it."""
+        self.start()
+        done: set = set()
         ticks = 0
         last_fresh = time.monotonic()
         try:
             while frames == 0 or ticks < frames:
+                with self._lock:
+                    servers = list(self.servers)
+                live = [s for s in servers if id(s) not in done]
                 dispatched = False
-                for i, s in enumerate(self.servers):
-                    if not alive[i]:
-                        continue
+                for s in live:
                     r = s.tick()
                     if r is None:
-                        alive[i] = False
+                        done.add(id(s))
                     elif r:
                         dispatched = True
-                if not any(alive):
+                if not any(id(s) not in done for s in servers):
                     break
                 if not dispatched:
                     if (self.stall_timeout is not None and
@@ -497,6 +613,5 @@ class MultiGeometryServer:
                 last_fresh = time.monotonic()
                 ticks += 1
         finally:
-            for s in self.servers:
-                s.finish()
+            self.finish()
         return ticks

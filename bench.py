@@ -525,8 +525,10 @@ def run_config_sweep(names=None, merge=False):
 
 def run_parity_check():
     """On-chip mask parity: every model vs the cv2+TFLite CPU golden, using
-    whatever device JAX selected (TPU in deployment).  Prints per-model IoU
-    and exits nonzero if any model drops below 0.99."""
+    whatever device JAX selected (TPU in deployment).  Prints per-model IoU,
+    persists the full record as PARITY_ONCHIP.json (diffable across rounds;
+    prose claims are not evidence — CLAUDE.md), and exits nonzero if any
+    model drops below 0.99 or any identity gate fails."""
     import cv2
     # package-level helpers, NOT tests/: importing test config would pin JAX
     # to CPU and the "on-device" check would silently stop testing the TPU
@@ -538,6 +540,7 @@ def run_parity_check():
 
     import jax
     print(f"parity device: {jax.devices()[0]}", file=sys.stderr)
+    record = {"device": str(jax.devices()[0]), "models": {}}
     portrait, _, _ = bench_assets()  # repo-owned synthetic person portrait
     frame = cv2.imread(portrait)
     frame = cv2.resize(frame, (640, 480))
@@ -560,6 +563,9 @@ def run_parity_check():
             score = min(score, agree)
             extra = f"  classmap agreement {agree:.4f}"
         worst = min(worst, score)
+        record["models"][name] = {"iou": round(float(score), 4)}
+        if extra:
+            record["models"][name]["classmap_agreement"] = round(float(agree), 4)
         print(f"  {name[:52]:54s} IoU {score:.4f}{extra}", file=sys.stderr)
     # fused Pallas blend+pack identity on the real device: pipelines with
     # the kernels on vs off must emit identical bytes, per output format
@@ -580,6 +586,7 @@ def run_parity_check():
             y_off, _ = p_off.step(f, bgf)
         ok = bool((np.asarray(y_on) == np.asarray(y_off)).all())
         pack_ok = pack_ok and ok
+        record.setdefault("pack_identical", {})[fmt] = ok
         print(f"  fused blend+pack kernel identical to jnp path "
               f"({fmt}): {ok}", file=sys.stderr)
     # fused phase-split edge path identity on the real device: the quadrant
@@ -597,6 +604,7 @@ def run_parity_check():
         d = np.abs(m_on.astype(np.int32) - m_off.astype(np.int32))
         ok = int(d.max()) <= 1 and (d > 0).mean() <= 0.005
         edge_ok = edge_ok and ok
+    record["edge_tolerance_ok"] = edge_ok
     print(f"  fused edge path within tolerance of classic lowerings: "
           f"{edge_ok}", file=sys.stderr)
     # bf16 mode with the body megakernel (f32-storage kernel, DEFAULT-
@@ -614,17 +622,81 @@ def run_parity_check():
                           precision=jax.lax.Precision.DEFAULT)
     bgframe = np.roll(frame, 7, axis=1).copy()
     bf16_ok = True
+    bf16_fracs = []
     for _ in range(3):
         m_on = np.asarray(b_on.step(frame, bgframe)[1])
         m_off = np.asarray(b_off.step(frame, bgframe)[1])
         # bf16 decode flips are isolated pixels (possibly full-range in
-        # the pre-EMA byte), so gate on the differing fraction only
-        bf16_ok = bf16_ok and (m_on != m_off).mean() <= 0.02
+        # the pre-EMA byte), so gate on the differing fraction — per frame
+        # AND the stream mean, matching the soak Verifier invariant
+        # (CLAUDE.md: frame <= 2%, stream mean <= 0.2%) so a systematic
+        # ~1.9%-per-frame drift cannot pass
+        frac = float((m_on != m_off).mean())
+        bf16_fracs.append(frac)
+        bf16_ok = bf16_ok and frac <= 0.02
+    bf16_ok = bf16_ok and float(np.mean(bf16_fracs)) <= 0.002
+    record["bf16_mega"] = {"ok": bf16_ok,
+                           "frame_diff_fracs": [round(x, 5) for x in bf16_fracs],
+                           "mean_diff_frac": round(float(np.mean(bf16_fracs)), 5)}
     print(f"  bf16 body megakernel within tolerance of bf16 XLA body: "
-          f"{bf16_ok}", file=sys.stderr)
+          f"{bf16_ok} (mean diff frac {np.mean(bf16_fracs):.5f})",
+          file=sys.stderr)
+    # on-chip megakernel SPAN identity (f32): the rowpad Pallas program vs
+    # the span lowerings it replaces, per qualifying family — the recorded
+    # artifact behind PERF.md's "matches to 5e-5 on-chip" claim
+    span_rec, span_ok = _span_identity_check()
+    record["mega_span_identity"] = span_rec
+    record["min_iou"] = round(float(worst), 4)
+    record["ok"] = bool(worst >= 0.99 and pack_ok and edge_ok and bf16_ok
+                        and span_ok)
+    with open("PARITY_ONCHIP.json", "w") as fh:
+        json.dump(record, fh, indent=1)
+    print("  wrote PARITY_ONCHIP.json", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
                       "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
-    sys.exit(0 if worst >= 0.99 and pack_ok and edge_ok and bf16_ok else 1)
+    sys.exit(0 if record["ok"] else 1)
+
+
+def _span_identity_check(atol: float = 5e-5):
+    """Run each qualifying family's body megakernel ON-CHIP against the XLA
+    span lowerings on a random rowpad input; return (record, ok)."""
+    import jax
+    import jax.numpy as jnp
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import (BUNDLED_MODELS, resolve_model_path,
+                                            spec_for_model)
+    from backscrub_tpu.pipeline.edge import detect_edge, _make_span_fn
+    from backscrub_tpu.ops.megakernel import body_mega_for
+
+    rec, ok = {}, True
+    for name in BUNDLED_MODELS:
+        p = resolve_model_path(name)
+        model = load_model(p)
+        info = detect_edge(model, spec_for_model(p))
+        mega = None
+        if info is not None and info.front_ok and info.tail_ok:
+            mega = body_mega_for(model, info)
+        if mega is None:
+            continue
+        rs, im, om = mega.rs, mega.in_meta, mega.out_meta
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((1, im.rows, im.w, im.c)) * 2).astype(np.float32)
+        span = _make_span_fn(model, info.body_start, info.body_end,
+                             info.body_in_tensor, info.body_out_tensor)
+        ref = np.asarray(jax.jit(span)(model.params, jnp.asarray(x))
+                         ).astype(np.float32)[0]
+        xr = np.zeros((im.c, im.rows * rs), np.float32)
+        for i in range(im.rows):
+            xr[:, i * rs:i * rs + im.w] = x[0, i].T
+        out = np.asarray(jax.jit(mega)(jnp.asarray(xr)))
+        got = np.stack([out[:, i * rs + np.arange(om.w) * om.sp].T
+                        for i in range(om.rows)])
+        err = float(np.abs(got - ref).max())
+        rec[name] = {"max_abs_err": err, "ok": err <= atol}
+        ok = ok and err <= atol
+        print(f"  mega span identity {name[:40]:42s} max|err| {err:.2e} "
+              f"({'ok' if err <= atol else 'FAIL'})", file=sys.stderr)
+    return rec, ok
 
 
 def run_attrib():

@@ -23,10 +23,14 @@ sys.path.insert(0, ".")
 
 
 def harvest_frames(n=8, size=(160, 96)):
-    """Frames from the reference assets, resized to the student input."""
+    """Frames from the repo-owned synthetic assets (tools/gen_assets.py),
+    resized to the student input."""
     import cv2
-    paths = ["/root/reference/backgrounds/screenshot.jpg",
-             "/root/reference/backgrounds/retrowave.webm"]
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, "tools"))
+    from gen_assets import ensure_assets
+    portrait, video, _ = ensure_assets()
+    paths = [portrait, video]
     frames = []
     for p in paths:
         cap = cv2.VideoCapture(p)

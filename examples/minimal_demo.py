@@ -7,19 +7,27 @@ device-side path here is ~15,000 FPS at 720p on one TPU v5e chip.
 Usage: python examples/minimal_demo.py input.jpg background.jpg out.png
 """
 
+import os
 import sys
 
 import cv2
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, "tools"))
 
 from backscrub_tpu import FramePipeline, PipelineConfig
 
 
 def main():
-    inp = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/backgrounds/screenshot.jpg"
-    bgp = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/backgrounds/background.png"
+    # defaults: repo-owned synthetic assets (tools/gen_assets.py), generated
+    # deterministically on first use — no dependency on a mounted reference
+    if len(sys.argv) > 2:
+        inp, bgp = sys.argv[1], sys.argv[2]
+    else:
+        from gen_assets import ensure_assets
+        inp, _, bgp = ensure_assets()
     out = sys.argv[3] if len(sys.argv) > 3 else "demo_out.png"
 
     frame = cv2.resize(cv2.imread(inp), (640, 480))

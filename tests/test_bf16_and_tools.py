@@ -83,3 +83,29 @@ def test_minimal_demo_runs(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     img = cv2.imread(out)
     assert img is not None and img.shape == (480, 640, 3)
+
+
+def test_minimal_demo_runs_without_reference_mount(tmp_path):
+    """The fresh-clone story: models installed via get_models --from-dir
+    into a local dir, BACKSCRUB_TPU_MODELS absent, no CLI args (repo-owned
+    assets) — the first command works with no mounted reference."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import get_models
+    name = "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite"
+    mdir = tmp_path / "models"
+    rc = get_models.install_from_dir(os.path.dirname(model_path(name)),
+                                     str(mdir), [name])
+    assert rc == 0
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("BACKSCRUB_TPU_MODELS", "BACKSCRUB_PATH")}
+    env.update(JAX_PLATFORMS="cpu", BACKSCRUB_TPU_PLATFORM="cpu",
+               BACKSCRUB_PATH=str(tmp_path))  # <root>/models/<name>
+    r = subprocess.run(
+        [sys.executable, "examples/minimal_demo.py"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "/root/reference" not in (r.stdout + r.stderr)
+    img = cv2.imread(os.path.join(repo, "demo_out.png"))
+    assert img is not None and img.shape == (480, 640, 3)
+    os.remove(os.path.join(repo, "demo_out.png"))

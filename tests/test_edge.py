@@ -160,6 +160,8 @@ def test_quadrant_upscale_matrices_match_fold_blur():
 @pytest.mark.parametrize("name", [
     "segm_lite_v681.tflite",   # row stride 128
     "segm_full_v679.tflite",   # w=128 rows force row stride 256
+    # the reference's DEFAULT model (app/deepseg.cc:376) — 256x256 input
+    "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
 ])
 def test_body_megakernel_span_parity(name):
     """The single-Pallas-program body (ops/megakernel.py, interpret mode)
@@ -256,6 +258,175 @@ def test_megakernel_synthetic_pool_act_and_broadcast_add():
     out = np.asarray(jax.jit(mega)(jnp.asarray(xr)))
     got = np.stack([out[:, i * rs:i * rs + W].T for i in range(H)])
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def _mega_reject_case(case):
+    """Build a tiny synthetic span that trips exactly one BodyMega guard
+    class; returns (nodes, tensors, out_tid, expected message fragment)."""
+    rng = np.random.default_rng(2)
+    from backscrub_tpu.tflite.ir import NodeIR, TensorIR
+
+    C, H, W = 8, 8, 8
+    if case == "row width too large":
+        W = 260  # > 256 - margin
+
+    def t(i, name, shape, data=None):
+        return TensorIR(i, name, tuple(shape), np.float32,
+                        None if data is None else
+                        np.asarray(data, np.float32))
+
+    tensors = [t(0, "in", (1, H, W, C))]
+    nodes = []
+    out = 0
+
+    def add_t(name, shape, data=None):
+        tensors.append(t(len(tensors), name, shape, data))
+        return len(tensors) - 1
+
+    conv_o = dict(stride_h=1, stride_w=1, padding="SAME", activation="NONE")
+    dw_o = dict(stride_h=1, stride_w=1, padding="SAME", depth_multiplier=1,
+                activation="NONE")
+    if case in ("row width too large",):
+        w = add_t("w", (C, 1, 1, C), rng.standard_normal((C, 1, 1, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("CONV_2D", [0, w, b], [out], conv_o))
+    elif case == "SUB":  # op kind outside SUPPORTED
+        other = add_t("k", (1, H, W, C), rng.standard_normal((1, H, W, C)))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("SUB", [0, other], [out],
+                            dict(activation="NONE")))
+    elif case == "non-1x1 body conv":
+        w = add_t("w", (C, 3, 3, C), rng.standard_normal((C, 3, 3, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("CONV_2D", [0, w, b], [out], conv_o))
+    elif case == "fused activation":
+        w = add_t("w", (C, 1, 1, C), rng.standard_normal((C, 1, 1, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("CONV_2D", [0, w, b], [out],
+                            dict(conv_o, activation="TANH")))
+    elif case == "dw variant":
+        w = add_t("w", (1, 3, 3, 2 * C), rng.standard_normal((1, 3, 3, 2 * C)))
+        b = add_t("b", (2 * C,), np.zeros(2 * C))
+        out = add_t("y", (1, H, W, 2 * C))
+        nodes.append(NodeIR("DEPTHWISE_CONV_2D", [0, w, b], [out],
+                            dict(dw_o, depth_multiplier=2)))
+    elif case == "dw stride":
+        w = add_t("w", (1, 3, 3, C), rng.standard_normal((1, 3, 3, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, 3, 3, C))
+        nodes.append(NodeIR("DEPTHWISE_CONV_2D", [0, w, b], [out],
+                            dict(dw_o, stride_h=3, stride_w=3)))
+    elif case == "FC on spatial tensor":
+        w = add_t("w", (C, C), rng.standard_normal((C, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("FULLY_CONNECTED", [0, w, b], [out],
+                            dict(activation="NONE", keep_num_dims=True)))
+    elif case == "non-global pool":
+        out = add_t("y", (1, H // 2, W // 2, C))
+        nodes.append(NodeIR("AVERAGE_POOL_2D", [0], [out],
+                            dict(filter_h=2, filter_w=2, stride_h=2,
+                                 stride_w=2, padding="VALID",
+                                 activation="NONE")))
+    elif case == "operand not produced in-span":
+        other = add_t("k", (1, H, W, C), rng.standard_normal((1, H, W, C)))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("ADD", [0, other], [out],
+                            dict(activation="NONE")))
+    elif case == "binary shape mismatch":
+        # legal XLA broadcast (channel dim 1) that the rowpad layout
+        # cannot express: ADD of (1,H,W,C) with an in-span (1,H,W,1)
+        w1 = add_t("w1", (1, 1, 1, C), rng.standard_normal((1, 1, 1, C)))
+        b1 = add_t("b1", (1,), np.zeros(1))
+        one = add_t("one", (1, H, W, 1))
+        nodes.append(NodeIR("CONV_2D", [0, w1, b1], [one], conv_o))
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("ADD", [0, one], [out],
+                            dict(activation="NONE")))
+    elif case == "spatial logistic":
+        out = add_t("y", (1, H, W, C))
+        nodes.append(NodeIR("LOGISTIC", [0], [out], {}))
+    elif case == "concat axis":
+        other = add_t("c2", (1, H, W, C))
+        nodes.append(NodeIR("RELU", [0], [other], {}))
+        out = add_t("y", (1, 2 * H, W, C))
+        nodes.append(NodeIR("CONCATENATION", [0, other], [out],
+                            dict(axis=1, activation="NONE")))
+    elif case == "concat channel alignment":
+        w = add_t("w", (4, 1, 1, C), rng.standard_normal((4, 1, 1, C)))
+        b = add_t("b", (4,), np.zeros(4))
+        c4 = add_t("c4", (1, H, W, 4))
+        nodes.append(NodeIR("CONV_2D", [0, w, b], [c4], conv_o))
+        out = add_t("y", (1, H, W, 4 + C))
+        nodes.append(NodeIR("CONCATENATION", [c4, 0], [out],
+                            dict(axis=-1, activation="NONE")))
+    elif case == "non-2x resize":
+        size = add_t("size", (2,), np.array([3 * H, 3 * W]))
+        out = add_t("y", (1, 3 * H, 3 * W, C))
+        nodes.append(NodeIR("RESIZE_BILINEAR", [0, size], [out],
+                            dict(align_corners=False,
+                                 half_pixel_centers=True)))
+    elif case == "output spacing != 1":
+        w = add_t("w", (1, 3, 3, C), rng.standard_normal((1, 3, 3, C)))
+        b = add_t("b", (C,), np.zeros(C))
+        out = add_t("y", (1, H // 2, W // 2, C))
+        nodes.append(NodeIR("DEPTHWISE_CONV_2D", [0, w, b], [out],
+                            dict(dw_o, stride_h=2, stride_w=2)))
+    else:  # pragma: no cover
+        raise AssertionError(case)
+    return tensors, nodes, out
+
+
+@pytest.mark.parametrize("case,msg", [
+    ("SUB", "SUB"),
+    ("non-1x1 body conv", "non-1x1"),
+    ("fused activation", "activation"),
+    ("dw variant", "dw variant"),
+    ("dw stride", "dw stride"),
+    ("FC on spatial tensor", "FC on spatial"),
+    ("non-global pool", "non-global pool"),
+    ("operand not produced in-span", "not produced in-span"),
+    ("binary shape mismatch", "shape mismatch"),
+    ("spatial logistic", "spatial logistic"),
+    ("concat axis", "concat axis"),
+    ("concat channel alignment", "channel alignment"),
+    ("non-2x resize", "non-2x resize"),
+    ("output spacing != 1", "spacing"),
+    ("row width too large", "row width"),
+])
+def test_megakernel_rejects_unsupported_spans(case, msg):
+    """One test per guard class: a graph outside the megakernel's span
+    contract must raise Unsupported at BUILD time (so body_mega_for
+    degrades to the XLA body) — never compile and silently diverge."""
+    from backscrub_tpu.tflite.ir import GraphIR
+    from backscrub_tpu.graph.executor import build_model
+    from backscrub_tpu.ops.megakernel import BodyMega, Unsupported
+
+    tensors, nodes, out = _mega_reject_case(case)
+    g = GraphIR("synth", tensors, nodes, [0], [out])
+    model = build_model(g, jit=False)
+    with pytest.raises(Unsupported, match=msg):
+        BodyMega(model, 0, len(nodes), 0, out, interpret=True)
+
+
+def test_body_mega_for_rejects_quantized_models():
+    """Quantized weights store int8 + __scale host params; the mega would
+    cast them to f32 without the dequant — body_mega_for must gate them
+    out even when called directly (ADVICE r3)."""
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.pipeline.edge import detect_edge
+    from backscrub_tpu.ops.megakernel import body_mega_for
+
+    path = model_path("segm_lite_v681.tflite")
+    mq = load_model(path, quantize="int8")
+    info = detect_edge(mq, spec_for_model(path))
+    if info is None or not (info.front_ok and info.tail_ok):
+        pytest.skip("edge span does not qualify on the quantized graph")
+    assert body_mega_for(mq, info, interpret=True) is None
 
 
 def test_megakernel_gating():

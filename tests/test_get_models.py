@@ -74,6 +74,35 @@ def test_cli_from_dir(tmp_path):
     assert (tmp_path / name).exists()
 
 
+def test_check_offline_contract_passes():
+    """--check --no-probe: the pinned URL/sha/size/geometry table is
+    well-formed for every model (the offline leg of the fetch contract;
+    the HEAD probe runs the same entries when a network exists)."""
+    rc = get_models.check(list(get_models.MODELS), probe=False)
+    assert rc == 0
+
+
+def test_check_rejects_broken_contract(monkeypatch):
+    name = "segm_lite_v681.tflite"
+    broken = dict(get_models.MODELS[name], urls=["http://insecure/x.tflite"])
+    monkeypatch.setitem(get_models.MODELS, name, broken)
+    assert get_models.check([name], probe=False) == 1
+    broken = dict(get_models.MODELS[name], sha256="deadbeef")
+    monkeypatch.setitem(get_models.MODELS, name, broken)
+    assert get_models.check([name], probe=False) == 1
+
+
+def test_check_probe_tolerates_no_network(monkeypatch):
+    """A network-unreachable probe must report, not fail (zero-egress
+    container); only a reachable mirror with the wrong size fails."""
+    monkeypatch.setattr(get_models, "_head_probe",
+                        lambda url, size: "unreachable (URLError: egress)")
+    assert get_models.check(["segm_lite_v681.tflite"], probe=True) == 0
+    monkeypatch.setattr(get_models, "_head_probe",
+                        lambda url, size: f"SIZE MISMATCH (1 != {size})")
+    assert get_models.check(["segm_lite_v681.tflite"], probe=True) == 1
+
+
 # ---------------------------------------------------------------------------
 # repo-owned assets
 

@@ -663,3 +663,141 @@ def test_multistream_server_mjpg_output(rng):
     # and the emitted stream is a valid JPEG of the right geometry
     img = cv2.imdecode(np.frombuffer(jpgs[3][0], np.uint8), cv2.IMREAD_COLOR)
     assert img is not None and img.shape == (h, w, 3)
+
+
+@needs_8
+def test_multigeometry_server_elastic_novel_geometry(rng):
+    """Attach a stream whose (model, geometry) has NO bucket: the server
+    builds + warms the bucket at runtime, existing streams' outputs stay
+    bit-identical to solo and uninterrupted, the newcomer matches solo
+    (VERDICT r3 item 5)."""
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    ga, gb = (64, 48), (128, 96)
+    frames_a = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(5)]
+    frames_b = [rng.integers(0, 256, (96, 128, 3), np.uint8) for _ in range(3)]
+    frames_c = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(2)]
+
+    def src(seq):
+        it = iter(seq)
+        return lambda: next(it, None)
+
+    out_a, out_b, out_c = [], [], []
+    server = MultiGeometryServer(
+        path, cfg, [(src(frames_a), out_a.append, *ga)], mesh)
+    assert server.n_groups == 1
+    assert server.run(frames=2) == 2
+    assert len(out_a) == 2
+
+    # novel geometry -> a second bucket compiles and splices in
+    hb = server.attach(src(frames_b), out_b.append, *gb)
+    assert server.n_groups == 2
+    # same geometry as A -> joins A's bucket (free padding slot), no bucket
+    hc = server.attach(src(frames_c), out_c.append, *ga)
+    assert server.n_groups == 2
+    server.run()
+    assert (len(out_a), len(out_b), len(out_c)) == (5, 3, 2)
+
+    for geo, seq, outs in ((ga, frames_a, out_a), (gb, frames_b, out_b),
+                           (ga, frames_c, out_c)):
+        solo = FramePipeline(path, PipelineConfig(width=geo[0], height=geo[1],
+                                                  use_bilateral=False))
+        fracs = []
+        for i, f in enumerate(seq):
+            o, _ = solo.step(f, None)
+            # batched-vs-solo tolerance invariant (CLAUDE.md): +-1 bytes,
+            # frame <= 2%, stream mean <= 0.2% differing
+            a = np.asarray(outs[i]).astype(np.int16)
+            b = np.asarray(o).astype(np.int16)
+            assert np.abs(a - b).max() <= 1
+            frac = float((a != b).mean())
+            fracs.append(frac)
+            assert frac <= 0.02
+        assert np.mean(fracs) <= 0.002
+
+
+@needs_8
+def test_multigeometry_server_detach_retires_bucket(rng):
+    """detach() of a bucket's last stream retires the bucket; other
+    buckets keep serving untouched."""
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    out_a, out_d = [], []
+    frames_a = [rng.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(2)]
+    it_a = iter(frames_a)
+    server = MultiGeometryServer(
+        path, cfg, [(lambda: next(it_a, None), out_a.append, 64, 48)], mesh)
+    hd = server.attach(lambda: rng.integers(0, 256, (24, 32, 3), np.uint8),
+                       out_d.append, 32, 24)
+    assert server.n_groups == 2
+    server.detach(hd)
+    assert server.n_groups == 1
+    with pytest.raises(ValueError):
+        server.detach(hd)  # slot already freed
+    server.run()
+    assert len(out_a) == 2
+
+
+@needs_8
+def test_multigeometry_server_threaded_midrun_attach(rng):
+    """The live-camera story: with run() spinning in another thread, a
+    novel-geometry camera connects mid-run; the existing stream keeps
+    delivering through the newcomer's off-path compile and the newcomer's
+    first output matches a solo pipeline's."""
+    import threading
+    import time as _time
+    from backscrub_tpu.runtime.multistream import MultiGeometryServer
+
+    path = model_path("segm_lite_v681.tflite")
+    cfg = PipelineConfig(width=0, height=0, use_bilateral=False)
+    mesh = make_mesh(8)
+    frame_a = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    frame_b = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    stop = threading.Event()
+    out_a, out_b = [], []
+
+    def src_a():
+        if stop.is_set():
+            return None
+        _time.sleep(0.002)
+        return np.array(frame_a)
+
+    def src_b():
+        if stop.is_set():
+            return None
+        _time.sleep(0.002)
+        return np.array(frame_b)
+
+    server = MultiGeometryServer(path, cfg,
+                                 [(src_a, out_a.append, 64, 48)], mesh,
+                                 threaded=True, keep_alive=True,
+                                 stall_timeout=5.0)
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    deadline = _time.monotonic() + 60
+    while len(out_a) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert len(out_a) >= 2, "stream A never warmed up"
+    n_before = len(out_a)
+    hb = server.attach(src_b, out_b.append, 128, 96)
+    assert server.n_groups == 2
+    deadline = _time.monotonic() + 60
+    while not out_b and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert out_b, "attached novel-geometry stream never delivered"
+    assert len(out_a) > n_before, "existing stream stalled during attach"
+    stop.set()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    solo = FramePipeline(path, PipelineConfig(width=128, height=96,
+                                              use_bilateral=False))
+    o, _ = solo.step(frame_b, None)
+    a = np.asarray(out_b[0]).astype(np.int16)
+    b = np.asarray(o).astype(np.int16)
+    assert np.abs(a - b).max() <= 1 and float((a != b).mean()) <= 0.02

@@ -28,6 +28,7 @@ resolving via $BACKSCRUB_PATH / BACKSCRUB_TPU_MODELS as before
 Usage:
     python tools/get_models.py --dest models [--only segm_lite_v681.tflite]
                                [--from-dir DIR] [--golden]
+    python tools/get_models.py --check [--no-probe]   # verify the contract
 """
 
 from __future__ import annotations
@@ -146,6 +147,64 @@ def golden_gate(path: str, name: str, full: bool = False) -> None:
         print(f"  golden gate: IoU {score:.4f}", file=sys.stderr)
 
 
+def check(names: List[str], probe: bool = True) -> int:
+    """Verify the acquisition contract as far as the environment allows.
+
+    Offline part (always): every URL parses as https with a host and the
+    model's filename, and every entry pins sha256 + size + input geometry.
+    Online part (``probe``): HEAD each mirror and compare Content-Length
+    against the pinned size — catches mirror drift without downloading.
+    A network-unreachable probe is reported but does not fail the check
+    (this container has zero egress); a *reachable* mirror with the wrong
+    size does."""
+    from urllib.parse import urlparse
+
+    rc = 0
+    for name in names:
+        info = MODELS[name]
+        if not (len(info.get("sha256", "")) == 64
+                and int(info.get("size", 0)) > 0
+                and len(info.get("input_hw", ())) == 2
+                and info.get("urls")):
+            print(f"{name}: CONTRACT BROKEN (missing sha/size/geometry/urls)",
+                  file=sys.stderr)
+            rc = 1
+            continue
+        for url in info["urls"]:
+            u = urlparse(url)
+            if u.scheme != "https" or not u.netloc or \
+                    not u.path.endswith("/" + name):
+                print(f"{name}: malformed mirror URL {url}", file=sys.stderr)
+                rc = 1
+                continue
+            status = "offline-ok (not probed)"
+            if probe:
+                status = _head_probe(url, int(info["size"]))
+                if status.startswith("SIZE MISMATCH"):
+                    rc = 1
+            print(f"  {name[:44]:46s} {u.netloc:28s} {status}",
+                  file=sys.stderr)
+    print(f"contract check: {'ok' if rc == 0 else 'FAILED'}", file=sys.stderr)
+    return rc
+
+
+def _head_probe(url: str, want_size: int) -> str:
+    """HEAD one mirror; returns a status string (never raises)."""
+    from urllib.request import Request, urlopen
+
+    try:
+        req = Request(url, method="HEAD")
+        with urlopen(req, timeout=20) as r:
+            clen = r.headers.get("Content-Length")
+        if clen is None:
+            return "reachable (no Content-Length)"
+        if int(clen) != want_size:
+            return f"SIZE MISMATCH ({clen} != {want_size})"
+        return f"reachable, size ok ({clen})"
+    except Exception as e:
+        return f"unreachable ({type(e).__name__}: {str(e)[:60]})"
+
+
 def fetch_one(name: str, dest: str) -> str:
     from urllib.request import urlopen
 
@@ -204,6 +263,13 @@ def main(argv=None) -> int:
                          "instead of downloading")
     ap.add_argument("--golden", action="store_true",
                     help="also run the TFLite-CPU parity gate per model")
+    ap.add_argument("--check", action="store_true",
+                    help="verify the acquisition contract (URL syntax + "
+                         "pinned sha/size table; HEAD-probe mirrors when "
+                         "the network allows) without downloading")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="with --check: skip network HEAD probes "
+                         "(offline contract only)")
     args = ap.parse_args(argv)
 
     names = args.only or list(MODELS)
@@ -212,6 +278,8 @@ def main(argv=None) -> int:
         print(f"unknown model(s): {unknown}; known: {list(MODELS)}",
               file=sys.stderr)
         return 2
+    if args.check:
+        return check(names, probe=not args.no_probe)
     if args.from_dir:
         return install_from_dir(args.from_dir, args.dest, names,
                                 golden=args.golden)

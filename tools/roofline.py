@@ -183,13 +183,23 @@ def dot_flops(line: str, out_shape: str) -> int:
     return 2 * int(np.prod(out_dims)) * (lhs[-1] if lhs else 1)
 
 
-def build_scan(batch: int, iters: int):
+# short names for --model (keys into BENCH_DETAILS records)
+MODEL_SHORT = {
+    "segm_lite": "segm_lite_v681.tflite",
+    "segm_full": "segm_full_v679.tflite",
+    "mlkit": "selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+    "deeplab": "deeplabv3_257_mv_gpu.tflite",
+    "bodypix": "body-pix-float-050-8.tflite",
+}
+
+
+def build_scan(batch: int, iters: int, model: str = "segm_lite"):
     import jax
     import jax.numpy as jnp
     from backscrub_tpu.pipeline.frame import FramePipeline, PipelineConfig
     from backscrub_tpu.models.specs import resolve_model_path
 
-    pipe = FramePipeline(resolve_model_path("segm_lite_v681.tflite"),
+    pipe = FramePipeline(resolve_model_path(MODEL_SHORT[model]),
                          PipelineConfig(width=1280, height=720))
     step = pipe._make_step("explicit", False, False, True)
     rng = np.random.default_rng(0)
@@ -214,10 +224,11 @@ def build_scan(batch: int, iters: int):
     return many, (params, frames, bgs, ema0)
 
 
-def profile_and_parse(batch: int, iters: int, trace_root: str):
+def profile_and_parse(batch: int, iters: int, trace_root: str,
+                      model: str = "segm_lite"):
     import jax
 
-    many, args = build_scan(batch, iters)
+    many, args = build_scan(batch, iters, model)
     lowered = many.lower(*args)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()
@@ -298,9 +309,11 @@ def classify(info: HloInfo | None, name: str) -> str:
     return "other"
 
 
-def analyze(batch: int, iters: int, top: int = 40):
-    trace_root = f"/tmp/backscrub_roofline_b{batch}"
-    dur, cnt, steps, hlo_text = profile_and_parse(batch, iters, trace_root)
+def analyze(batch: int, iters: int, top: int = 40,
+            model: str = "segm_lite"):
+    trace_root = f"/tmp/backscrub_roofline_{model}_b{batch}"
+    dur, cnt, steps, hlo_text = profile_and_parse(batch, iters, trace_root,
+                                                  model)
     infos = parse_hlo(hlo_text)
 
     rows = []
@@ -372,6 +385,9 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--model", choices=sorted(MODEL_SHORT), default="segm_lite",
+                    help="model family to trace (record key gains a suffix "
+                         "for non-default families)")
     args = ap.parse_args(argv)
 
     import jax
@@ -380,8 +396,10 @@ def main(argv=None) -> int:
         print("warning: profiling CPU, not TPU — timings are not the "
               "deployment numbers", file=sys.stderr)
 
-    s = analyze(args.batch, args.iters, args.top)
+    s = analyze(args.batch, args.iters, args.top, args.model)
     key = "roofline_720p" if args.batch == 1 else f"roofline_720p_batch{args.batch}"
+    if args.model != "segm_lite":
+        key += f"_{args.model}"
     results = {}
     if os.path.exists("BENCH_DETAILS.json"):
         with open("BENCH_DETAILS.json") as f:
