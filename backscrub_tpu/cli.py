@@ -303,7 +303,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         model_path, pcfg,
         compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,
         precision=(jax.lax.Precision.DEFAULT if cfg["bf16"]
-                   else jax.lax.Precision.HIGHEST),
+                   else None),  # None = per-family default (specs.py)
         quantize="int8" if cfg["int8"] else None,
     )
 

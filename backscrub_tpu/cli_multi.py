@@ -168,7 +168,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         stall_timeout=cfg["stall_timeout"] if cfg["threaded"] else None,
         compute_dtype=jnp.bfloat16 if cfg["bf16"] else jnp.float32,
         precision=(jax.lax.Precision.DEFAULT if cfg["bf16"]
-                   else jax.lax.Precision.HIGHEST))
+                   else None))  # None = per-family default (specs.py)
     if cfg["debug"]:
         print(f"model: {model_path}\nstreams: {len(streams)} in "
               f"{server.n_groups} (model, geometry) bucket(s), "

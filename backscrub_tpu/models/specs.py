@@ -22,6 +22,22 @@ class ModelSpec:
     threshold: float = 0.65        # for decode == "threshold" (libbackscrub.cc:338)
     person_class: int = 15         # PASCAL-VOC "person" for deeplab (libbackscrub.cc:154-159)
     num_classes: int = 21          # expected output channels for argmax decodes
+    # Default MXU precision for this family's convs/dots when the caller
+    # does not pick one (MaskGen/FramePipeline precision=None).  "highest"
+    # = 6-pass bf16 (bit-nearest to f32), "high" = 3 passes, "default" =
+    # one pass.  The FLOP-heavy 257x257 families (deeplab 1.45 GFLOP/
+    # frame, bodypix) pay a measured 1.3-1.4x step-time tax at HIGHEST
+    # for no decode-level effect: at HIGH, tools/prec_parity.py measures
+    # max |score dev vs TFLite CPU| of 4.3e-3 (deeplab) / 1.7e-3
+    # (bodypix) against smallest decode margins of 2e-4 / 0.118 — argmax
+    # agreement 1.0000 on the parity asset, >= 0.99977 on real photos
+    # (flips confined to zero-margin class boundaries, the same class as
+    # the repo's batched-serving tolerance).  One-pass DEFAULT was
+    # measured and REJECTED for accuracy: deeplab score dev 1.1 flips
+    # 2.3% of argmax pixels on a real photo.  The tiny meet/selfie
+    # families keep HIGHEST — their step is layout-bound and the mega
+    # kernel already runs their dots one-pass in bf16 mode (PERF.md).
+    mxu_precision: str = "highest"
 
     def expected_channels(self):
         """Output-channel count this decode rule needs (None = any)."""
@@ -30,8 +46,10 @@ class ModelSpec:
 
 
 _SPECS = {
-    "deeplab": ModelSpec("deeplab", scale=1 / 127.5, offset=-1.0, decode="argmax_person"),
-    "bodypix": ModelSpec("bodypix", scale=1 / 255.0, offset=0.0, decode="threshold"),
+    "deeplab": ModelSpec("deeplab", scale=1 / 127.5, offset=-1.0,
+                         decode="argmax_person", mxu_precision="high"),
+    "bodypix": ModelSpec("bodypix", scale=1 / 255.0, offset=0.0,
+                         decode="threshold", mxu_precision="high"),
     "meet": ModelSpec("meet", scale=1 / 255.0, offset=0.0, decode="two_channel"),
     "selfie": ModelSpec("selfie", scale=1 / 255.0, offset=0.0, decode="threshold"),
     # MediaPipe multiclass selfie family (256x256x6: bg, hair, body-skin,

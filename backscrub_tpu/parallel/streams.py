@@ -31,7 +31,7 @@ class MultiStreamPipeline:
 
     def __init__(self, model: str, config: PipelineConfig, n_streams: int,
                  mesh: Mesh, *, compute_dtype=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=None):
         if n_streams % mesh.shape["data"] != 0:
             raise ValueError(
                 f"n_streams={n_streams} not divisible by data axis "

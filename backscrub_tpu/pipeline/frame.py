@@ -100,7 +100,7 @@ class FramePipeline:
 
     def __init__(self, model: str, config: PipelineConfig, *,
                  compute_dtype=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST,
+                 precision=None,
                  quantize=None):
         if config.output_format == "yuyv":
             for label, w in [("width", config.width),
@@ -158,7 +158,7 @@ class FramePipeline:
                                quantize=quantize)
         self.spec = self.maskgen.spec
         self.geo = self.maskgen.geo
-        self.precision = precision
+        self.precision = self.maskgen.precision  # per-spec default resolved
         ow = config.out_width or config.width
         oh = config.out_height or config.height
         self.out_geo = (oh, ow)

@@ -47,9 +47,13 @@ RESIZE_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _resize_precision(precision):
-    """HIGHEST callers get the fast resize; explicit others are honored."""
+    """Multi-pass callers (HIGHEST / the per-family HIGH default) get the
+    fast single-pass resize — the 2-tap u8-range interpolation matrices
+    stay within +-1 at one bf16 pass (PERF.md round-3 item 1), so chaining
+    extra MXU passes there buys nothing; an explicit DEFAULT (bf16 mode)
+    is already single-pass."""
     return RESIZE_PRECISION if precision in (
-        None, jax.lax.Precision.HIGHEST) else precision
+        None, jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH) else precision
 
 
 @functools.lru_cache(maxsize=32)
@@ -199,7 +203,7 @@ class MaskGen:
 
     def __init__(self, model: str, width: int, height: int, *,
                  compute_dtype=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST,
+                 precision=None,
                  use_bilateral: bool = True,
                  fused: bool = True,
                  u8_exact_post: Optional[bool] = None,
@@ -215,6 +219,13 @@ class MaskGen:
                  ondebug: Optional[Callable] = None):
         self.model_path = resolve_model_path(model)
         self.spec = spec_for_model(self.model_path)
+        if precision is None:
+            # per-family default (ModelSpec.mxu_precision): the 257x257
+            # FLOP-heavy families run one-pass bf16 MXU, the tiny families
+            # HIGHEST — chosen from measured step time + decode-margin
+            # evidence (tools/prec_parity.py, PERF.md round-4 section)
+            precision = getattr(jax.lax.Precision,
+                                self.spec.mxu_precision.upper())
         self.model: CompiledModel = load_model(self.model_path,
                                                compute_dtype=compute_dtype,
                                                precision=precision,

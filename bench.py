@@ -59,7 +59,8 @@ def build_pipe(model, w, h, blur=0, dtype=None, out_format="yuyv",
                          output_format=out_format)
     return FramePipeline(resolve_model_path(model), cfg,
                          compute_dtype=dtype or jnp.float32,
-                         precision=precision or jax.lax.Precision.HIGHEST,
+                         precision=precision,  # None = per-family default
+                                               # (ModelSpec.mxu_precision)
                          quantize=quantize)
 
 

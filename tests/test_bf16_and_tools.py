@@ -109,3 +109,27 @@ def test_minimal_demo_runs_without_reference_mount(tmp_path):
     img = cv2.imread(os.path.join(repo, "demo_out.png"))
     assert img is not None and img.shape == (480, 640, 3)
     os.remove(os.path.join(repo, "demo_out.png"))
+
+
+def test_per_family_precision_defaults():
+    """precision=None resolves to ModelSpec.mxu_precision: the FLOP-heavy
+    257x257 families (deeplab/bodypix) default to HIGH (3-pass bf16 MXU,
+    decode-margin evidence in tools/prec_parity.py), the tiny families to
+    HIGHEST; an explicit precision always wins."""
+    from backscrub_tpu.models.specs import BUNDLED_MODELS, spec_for_model
+    from backscrub_tpu.models.specs import resolve_model_path
+
+    by_kind = {}
+    for name in BUNDLED_MODELS:
+        p = resolve_model_path(name)
+        by_kind[spec_for_model(p).kind] = p
+    mg = MaskGen(by_kind["deeplab"], 160, 120)
+    assert mg.precision == jax.lax.Precision.HIGH
+    assert mg.model.precision_setting == jax.lax.Precision.HIGH
+    mg = MaskGen(by_kind["bodypix"], 160, 120)
+    assert mg.precision == jax.lax.Precision.HIGH
+    mg = MaskGen(by_kind["meet"], 160, 120)
+    assert mg.precision == jax.lax.Precision.HIGHEST
+    mg = MaskGen(by_kind["deeplab"], 160, 120,
+                 precision=jax.lax.Precision.HIGHEST)
+    assert mg.precision == jax.lax.Precision.HIGHEST
