@@ -134,11 +134,13 @@ class BodyMega:
     """
 
     def __init__(self, model, start: int, end: int, in_tid: int,
-                 out_tid: int, *, interpret: bool = False):
+                 out_tid: int, *, interpret: bool = False,
+                 allow_spaced_output: bool = False):
         g = model.graph
         self.model = model
         self.interpret = interpret
         self.in_tid, self.out_tid = in_tid, out_tid
+        self.allow_spaced_output = allow_spaced_output
         hp = model.host_params
         if hp is None:
             raise Unsupported("model has no host params")
@@ -232,6 +234,11 @@ class BodyMega:
                 if o.get("depth_multiplier", 1) != 1 or m.vec \
                         or o.get("padding") != "SAME":
                     raise Unsupported("dw variant")
+                if o.get("dilation_h", 1) != 1 or o.get("dilation_w", 1) != 1:
+                    # the tap offsets below assume dense 3x3 reach; an
+                    # atrous DW (deeplab/bodypix 33x33 stages) must fall
+                    # back to the XLA lowering, never be mis-lowered dense
+                    raise Unsupported("dw dilation")
                 w = hparam(node.inputs[1], "dw")   # (fh, fw, 1, C)
                 fh, fw = w.shape[0], w.shape[1]
                 s = o.get("stride_h", 1)
@@ -351,9 +358,11 @@ class BodyMega:
         self.out_meta = self.meta[out_tid]
         if self.out_meta.vec:
             raise Unsupported("span output is a pooled vector")
-        if self.out_meta.sp != 1:
+        if self.out_meta.sp != 1 and not allow_spaced_output:
             # consumers (the edge tail) read columns at lane j — an output
-            # left at a coarser spacing would silently interleave zeros
+            # left at a coarser spacing would silently interleave zeros.
+            # Prefix spans (body_mega_prefix_for) opt out: their consumer
+            # is the rowpad->NHWC bridge, which slices lanes at sp.
             raise Unsupported("unbalanced strides: output spacing != 1")
         self.in_meta = in_meta
         # scratch buffers for resize row assembly (kernel mode)
@@ -370,6 +379,14 @@ class BodyMega:
         rs = self.rs
         env = {self.in_tid: x}
         prec = self.model.precision_setting
+        if prec == jax.lax.Precision.HIGH:
+            # Mosaic's dot lowering implements DEFAULT and HIGHEST only
+            # ("Unsupported dot precision: HIGH").  Run the in-kernel dots
+            # at HIGHEST — strictly more precise than the model's 3-pass
+            # setting, and the spans routed here keep their dot operands
+            # small (C<=72 prefixes / the segm bodies), so the extra
+            # passes cost ~1 us, not the full-model 1.4x.
+            prec = jax.lax.Precision.HIGHEST
         # Interpret mode runs on CPU, where DEFAULT-precision dots compute
         # in full f32; the real MXU truncates f32 inputs to bf16 at
         # DEFAULT.  Simulate that input rounding so interpret-mode
@@ -555,3 +572,68 @@ def body_mega_for(model, info, *, interpret: bool = False) -> Optional[BodyMega]
     if (mega.out_meta.rows, mega.out_meta.w) != (oh // 2, ow // 2):
         return None
     return mega
+
+
+def body_mega_prefix_for(model, info, *, interpret: bool = False,
+                         min_nodes: int = 4):
+    """Build a BodyMega over the longest qualifying PREFIX of the body span.
+
+    For the front-only families (deeplab/bodypix — fused front, no
+    kernel==stride tail), the early body is the tiny-minor-dim zone: the
+    129x129/65x65 stages at C<=72 live in lane-padded NHWC tiles and XLA
+    surrounds them with relayout copies (17 us chw->NHWC at the front
+    exit + 23-25 us around the early depthwise convs per the round-4
+    roofline traces), while the 33x33 C>=96 stages run near the MXU roof
+    under XLA (rowpad lane spacing would *double* their dot work —
+    measured reasoning in PERF.md).  So: run [body_start, cut) in one
+    rowpad Pallas program and hand the cut tensor to the standard
+    lowerings, choosing ``cut`` as the last point before the
+    MXU-friendly regime (output c >= 96 at rows <= 33) such that exactly
+    one in-span tensor crosses the cut.
+
+    Returns (mega, cut_node_index, cut_tid) or None.  The caller bridges
+    the spaced rowpad output to NHWC (lane slice at sp + transpose).
+    """
+    if not info.front_ok or getattr(model, "quantize_mode", None):
+        return None
+    g = model.graph
+    nodes = g.nodes
+    start = info.body_start
+    end = start
+    for i in range(start, info.body_end):
+        node = nodes[i]
+        if node.kind not in SUPPORTED:
+            break
+        s = g.tensor(node.outputs[0]).shape
+        if s is None or len(s) != 4:
+            break
+        _, h, _, c = s
+        if c >= 96 and h <= 33:
+            break
+        end = i + 1
+    # everything defined at/before the cut within the span scope — the
+    # span INPUT counts too: segm-family decoders skip-connect back to it,
+    # and a remainder referencing it alongside cut_tid would read a tensor
+    # the bridge never materialises (r4 bug: h_swish #4 "referenced before
+    # definition" under refine=guided front-only mode)
+    produced = {info.body_in_tensor}
+    for n in nodes[start:end]:
+        produced.update(n.outputs)
+    while end - start >= min_nodes:
+        crossing = set()
+        for n in nodes[end:info.body_end]:
+            for t in n.inputs:
+                if t in produced:
+                    crossing.add(t)
+        if len(crossing) == 1:
+            cut_tid = crossing.pop()
+            try:
+                mega = BodyMega(model, start, end, info.body_in_tensor,
+                                cut_tid, interpret=interpret,
+                                allow_spaced_output=True)
+                return mega, end, cut_tid
+            except Unsupported:
+                pass
+        end -= 1
+        produced.difference_update(nodes[end].outputs)
+    return None

@@ -502,23 +502,41 @@ class EdgeFused:
         # kills the grouped-conv batch pathology), else a partial trace of
         # nodes[start:end] through the standard lowerings
         self.mega = None
+        self.mega_prefix = None
         if info.front_ok and info.tail_ok and mega is not False:
             from ..ops.megakernel import body_mega_for
             self.mega = body_mega_for(model, info, interpret=interpret)
+        if self.mega is None and info.front_ok and mega is not False:
+            # front-only families (deeplab/bodypix): run the tiny-minor-dim
+            # early stages (129x129/65x65, C<=72) as one rowpad kernel and
+            # hand the cut tensor to the XLA lowerings, which run the
+            # 33x33 C>=96 stages near the MXU roof (PERF.md round 4)
+            from ..ops.megakernel import body_mega_prefix_for
+            r = body_mega_prefix_for(model, info, interpret=interpret)
+            if r is not None:
+                self.mega_prefix, self._cut_end, self._cut_tid = r
         if mega and self.mega is None:
             raise ValueError("mega=True but the body span does not qualify "
                              "for the megakernel (needs both fused edge "
                              "layers and a supported op span)")
-        self._body = (None if self.mega is not None else
-                      _make_span_fn(model, info.body_start, info.body_end,
-                                    info.body_in_tensor, info.body_out_tensor))
+        if self.mega is not None:
+            self._body = None
+        elif self.mega_prefix is not None:
+            self._body = _make_span_fn(model, self._cut_end, info.body_end,
+                                       self._cut_tid, info.body_out_tensor)
+        else:
+            self._body = _make_span_fn(model, info.body_start, info.body_end,
+                                       info.body_in_tensor,
+                                       info.body_out_tensor)
         # How the front kernel emits the body input.  "chw" writes Cout
         # full planes (clean VMEM stores) and lets XLA transpose to NHWC
         # outside; "nhwc" writes lane-strided per-channel columns inside
         # the kernel — measured 17-21 us slower on v5e (the store pattern,
         # not the compute, dominates).  "rowpad" feeds the megakernel's
-        # (c, rows*rs) layout directly.
-        self.front_layout = "rowpad" if self.mega is not None else "chw"
+        # (c, rows*rs) layout directly (full-span or prefix).
+        self.front_layout = ("rowpad" if (self.mega is not None
+                                          or self.mega_prefix is not None)
+                             else "chw")
 
     @property
     def ema_shape(self):
@@ -561,7 +579,9 @@ class EdgeFused:
             out_dtype=(jnp.float32 if self.front_layout == "rowpad"
                        else self.model.compute_dtype),
             interpret=self.interpret,
-            rs=self.mega.rs if self.mega is not None else 128)
+            rs=(self.mega.rs if self.mega is not None
+                else self.mega_prefix.rs if self.mega_prefix is not None
+                else 128))
         if self.front_layout == "rowpad":
             # (N, C, oh, rs) -> (N, C, oh*rs): contiguous, free in XLA
             out = out.reshape(out.shape[:2] + (-1,))
@@ -574,6 +594,19 @@ class EdgeFused:
         if self.mega is not None:
             # params are baked into the megakernel (like the edge weights)
             return self.mega(h)
+        if self.mega_prefix is not None:
+            # rowpad prefix kernel, then bridge the spaced rowpad cut
+            # tensor to NHWC for the XLA remainder: (c, rows*rs) -> lane
+            # slice at sp -> (rows, w, c).  One small well-shaped relayout
+            # (the cut sits at 33x33, C<=72) instead of the 17 us
+            # chw->NHWC copy + ~25 us of early-DW relayouts it replaces.
+            h = self.mega_prefix(h)
+            m = self.mega_prefix.out_meta
+            rs = self.mega_prefix.rs
+            h = h.reshape(h.shape[:-1] + (m.rows, rs))
+            h = jax.lax.slice_in_dim(h, 0, (m.w - 1) * m.sp + 1, m.sp,
+                                     axis=-1)
+            h = jnp.moveaxis(h, -3, -1)
         lead = h.shape[:-3]
         hb = h.reshape((-1,) + h.shape[-3:])
         out = self._body(params, hb)

@@ -500,3 +500,62 @@ def test_detect_edge_all_families():
         info = detect_edge(model, spec_for_model(path))
         assert info is not None and info.front_ok, name
         assert info.tail_ok == tail, name
+
+
+@pytest.mark.parametrize("name", [
+    "deeplabv3_257_mv_gpu.tflite",    # MobileNetV2 early stages, ADD skips
+    "body-pix-float-050-8.tflite",    # MobileNetV1-050 early DW/PW chain
+])
+def test_body_megakernel_prefix_parity(name):
+    """The PREFIX megakernel (front-only families: early 129x129/65x65
+    stages as one rowpad program, cut to the XLA lowerings at the 33x33
+    MXU-friendly regime) must produce a mask identical to the XLA body
+    path, and its rowpad->NHWC bridge must be exact."""
+    import cv2
+    from conftest import portrait_path
+    from backscrub_tpu.pipeline.maskgen import MaskGen
+
+    img = cv2.resize(cv2.imread(portrait_path()), (320, 240))
+    on = MaskGen(model_path(name), 320, 240,
+                 edge_fused=True, edge_interpret=True)
+    off = MaskGen(model_path(name), 320, 240,
+                  edge_fused=True, edge_interpret=True, edge_mega=False)
+    assert on.edge.mega_prefix is not None
+    assert on.edge.mega is None            # no kernel==stride tail
+    assert off.edge.mega_prefix is None    # edge_mega=False disables it
+    # the cut hands over before the MXU-friendly regime (c>=96 @ rows<=33)
+    m = on.edge.mega_prefix.out_meta
+    assert m.sp > 1 and m.rows <= 33
+    for _ in range(3):
+        a = on.process(img)
+        b = off.process(img)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_body_megakernel_prefix_rejects():
+    """Guards the prefix path must enforce: quantized models never build
+    one (weights would skip their __scale dequant), and a span containing
+    an atrous DW must raise Unsupported, not mis-lower it as dense."""
+    import pytest as _pytest
+    from backscrub_tpu.graph.executor import load_model
+    from backscrub_tpu.models.specs import spec_for_model
+    from backscrub_tpu.pipeline.edge import detect_edge
+    from backscrub_tpu.ops.megakernel import (BodyMega, Unsupported,
+                                              body_mega_prefix_for)
+
+    path = model_path("deeplabv3_257_mv_gpu.tflite")
+    model = load_model(path)
+    info = detect_edge(model, spec_for_model(path))
+    assert info is not None and info.front_ok and not info.tail_ok
+    # quantized guard (same defense as body_mega_for)
+    class Q:
+        graph = model.graph
+        host_params = model.host_params
+        quantize_mode = "int8"
+    assert body_mega_prefix_for(Q, info) is None
+    # deeplab nodes 24..27 contain a dilation-2 depthwise conv: a span
+    # over them must reject at build time
+    g = model.graph
+    with _pytest.raises(Unsupported):
+        BodyMega(model, 24, 27, g.nodes[24].inputs[0],
+                 g.nodes[26].outputs[0], allow_spaced_output=True)
