@@ -242,15 +242,27 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
     # row m = 2k+a-2 (one halo row each side of the canvas), with
     # out-of-canvas rows/cols zeroed by an iota mask — the conv's SAME
     # padding — instead of an in-kernel pad op (unsupported by Mosaic).
+    #
+    # Lane shifts are the dominant cost, not the arithmetic (probed: a
+    # no-exp ablation times identically, r4 probe_front.py) — so the
+    # column (lane) offsets are factored out ONCE into 18 full-height
+    # windows; every tap/slab read below is then a sublane-only slice of
+    # one of them.  The naive form paid 13 taps x 3 ch x 4 quadrants
+    # = 156 misaligned lane shifts; this pays 18.
     npl, npw = qh - 2, qw - 2
+    col = {}
+    for c in range(3):
+        for b2 in (0, 1):
+            for oj in (0, 1, 2):
+                col[c, b2, oj] = z[c, :, b2 * qw + oj:b2 * qw + oj + npw]
     planes = [[None, None], [None, None]]
     for a in (0, 1):
         rowm = 2 * jax.lax.broadcasted_iota(jnp.int32, (npl, npw), 0) + (a - 2)
         rvalid = (rowm >= 0) & (rowm < H)
         for b in (0, 1):
             # plane row k / col j <-> quadrant row k+1 / col j+1 of (a, b)
-            ctr = [z[c, a * qh + 1:a * qh + 1 + npl,
-                     b * qw + 1:b * qw + 1 + npw] for c in range(3)]
+            ctr = [col[c, b, 1][a * qh + 1:a * qh + 1 + npl, :]
+                   for c in range(3)]
             if use_bilateral:
                 num = [jnp.zeros((npl, npw), jnp.float32) for _ in range(3)]
                 den = jnp.zeros((npl, npw), jnp.float32)
@@ -258,8 +270,8 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
                     a2, b2 = (a + di) % 2, (b + dj) % 2
                     oi = 1 + ((a + di) - a2) // 2
                     oj = 1 + ((b + dj) - b2) // 2
-                    nb = [z[c, a2 * qh + oi:a2 * qh + oi + npl,
-                            b2 * qw + oj:b2 * qw + oj + npw] for c in range(3)]
+                    nb = [col[c, b2, oj][a2 * qh + oi:a2 * qh + oi + npl, :]
+                          for c in range(3)]
                     cdist = (jnp.abs(nb[0] - ctr[0]) + jnp.abs(nb[1] - ctr[1])
                              + jnp.abs(nb[2] - ctr[2]))
                     wgt = sw * jnp.exp(inv2sc * cdist * cdist)
