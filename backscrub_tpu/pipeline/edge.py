@@ -227,7 +227,7 @@ def front_axis_matrix(src: int, dst_roi: int, canvas: int, lo: int):
 
 def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
                    use_bilateral, scale, offset, pad_lo_h, pad_lo_w,
-                   activation):
+                   activation, conv_dot=False, wv=None, wv_widen=None):
     """Shared kernel/interpreter body.
 
     z: (3, 2*qh, 2*qw) f32, rounded quadrantized resize output (BGR order);
@@ -300,11 +300,39 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
             for c in range(3):
                 slabs.append(jax.lax.slice(planes[a][b][c], (tr, tc),
                                            (tr + oh, tc + ow)))
+    if conv_dot:
+        # MXU contraction instead of the 27*cout vreg FMA loop (the loop is
+        # vreg-issue-bound at ~1.3 us per output channel at the 257x257
+        # canvas — tools/probe_front.py).  A direct (cout,27)@(27,oh,ow)
+        # dot does NOT compile: Mosaic lowers it via a (27,oh,ow) ->
+        # (27,oh*ow) shape cast that is unsupported for lane-misaligned ow.
+        # Instead each slab is first widened to the lane-aligned rowpad
+        # width rs via the 0/1 embedding matmul (exact at HIGHEST), the
+        # (27,oh,rs) stack collapses to (27,oh*rs) for free, and ONE MXU
+        # dot contracts all taps x channels.  Bias is added under a
+        # column-validity mask so the rs padding columns stay zero.
+        wide = [jax.lax.dot(s, wv_widen, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                for s in slabs]                          # 27 x (oh, rs)
+        rs = wv_widen.shape[1]
+        stk = jnp.stack(wide).reshape(len(slabs), oh * rs)
+        res = jax.lax.dot_general(
+            wv[: len(slabs), :].T, stk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(cout, oh, rs)
+        colv = jax.lax.broadcasted_iota(jnp.int32, (oh, rs), 1) < ow
+        pre = [jnp.where(colv, res[o] + w_ref[27, o], 0.0)
+               for o in range(cout)]
+    else:
+        pre = []
+        for o in range(cout):
+            acc = jnp.full((oh, ow), 0.0, jnp.float32) + w_ref[27, o]
+            for t, slab in enumerate(slabs):
+                acc = acc + slab * w_ref[t, o]
+            pre.append(acc)
     outs = []
-    for o in range(cout):
-        acc = jnp.full((oh, ow), 0.0, jnp.float32) + w_ref[27, o]
-        for t, slab in enumerate(slabs):
-            acc = acc + slab * w_ref[t, o]
+    for acc in pre:
         if activation == "RELU6":
             acc = jnp.clip(acc, 0.0, 6.0)
         elif activation == "HARD_SWISH":
@@ -313,12 +341,20 @@ def _front_compute(z, w_ref, *, qh, qw, H, W, oh, ow, cout, taps, inv2sc,
     return outs
 
 
-def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, widen_ref=None, **kw):
+def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, widen_ref=None,
+                  wv_ref=None, conv_dot=False, **kw):
     # (an "nhwc" layout writing lane-strided per-channel columns was
     # measured 17-21 us slower and removed — see PERF.md)
-    outs = _front_compute(z_ref[0], w_ref, **kw)
+    outs = _front_compute(z_ref[0], w_ref, conv_dot=conv_dot,
+                          wv=None if wv_ref is None else wv_ref[...],
+                          wv_widen=None if widen_ref is None
+                          else widen_ref[...], **kw)
     for o, plane in enumerate(outs):
-        if out_layout == "rowpad":
+        if conv_dot:
+            # plane is already (oh, rs) widened (the slab-widen dots feed
+            # the tap contraction); store as-is
+            out_ref[0, o] = plane.astype(out_ref.dtype)
+        elif out_layout == "rowpad":
             # (oh, rs) row-padded plane: a (ow, rs) 0/1 embedding matmul
             # (exact at HIGHEST — f32 splits into 3 bf16 terms losslessly
             # and 0/1 columns just copy) widens the plane with whole-tile
@@ -335,7 +371,7 @@ def _front_kernel(z_ref, w_ref, out_ref, *, out_layout, widen_ref=None, **kw):
 def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
                      use_bilateral, scale, offset, pad_lo_h, pad_lo_w,
                      activation, out_layout, out_dtype, interpret=False,
-                     rs=128):
+                     rs=128, conv_dot=False):
     """zt: (N, 3, 2qh, 2qw) f32, w_flat (28, Cout) [27 taps + bias row]
     -> chw (N, C, oh, ow) or rowpad (N, C, oh, rs)."""
     n = zt.shape[0]
@@ -358,16 +394,28 @@ def front_fused_call(zt, w_flat, *, qh, qw, H, W, oh, ow, taps, inv2sc,
         extra_args.append(widen)
         in_specs.append(pl.BlockSpec((ow, rs), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    if conv_dot:
+        if out_layout != "rowpad":
+            raise ValueError("conv_dot requires the rowpad front layout "
+                             "(the widen matrix lane-aligns the dot)")
+        # the MXU contraction needs the tap weights in VMEM (SMEM feeds
+        # scalars only); the SMEM copy still serves the bias row
+        extra_args.append(jnp.asarray(w_flat, jnp.float32))
+        in_specs.append(pl.BlockSpec((28, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     def kern(z_ref, w_ref, *rest):
-        widen_ref = rest[0] if out_layout == "rowpad" else None
-        out_ref = rest[-1]
+        rest = list(rest)
+        out_ref = rest.pop()
+        widen_ref = rest.pop(0) if out_layout == "rowpad" else None
+        wv_ref = rest.pop(0) if conv_dot else None
         _front_kernel(
             z_ref, w_ref, out_ref, qh=qh, qw=qw, H=H, W=W, oh=oh, ow=ow,
             cout=cout, taps=tuple(taps), inv2sc=inv2sc,
             use_bilateral=use_bilateral, scale=scale, offset=offset,
             pad_lo_h=pad_lo_h, pad_lo_w=pad_lo_w, activation=activation,
-            out_layout=out_layout, widen_ref=widen_ref)
+            out_layout=out_layout, widen_ref=widen_ref, wv_ref=wv_ref,
+            conv_dot=conv_dot)
 
     return pl.pallas_call(
         kern,
@@ -549,6 +597,13 @@ class EdgeFused:
         self.front_layout = ("rowpad" if (self.mega is not None
                                           or self.mega_prefix is not None)
                              else "chw")
+        # MXU tap contraction in the front kernel: wins at large canvases
+        # where the 27xCout vreg FMA loop is issue-bound (~1.3 us/channel
+        # at 129x129, tools/probe_front.py: deeplab 44.2 -> 34.0 us) but
+        # loses at small ones (segm 48x80: 6.9 -> 8.9 us — the 27 slab
+        # widen dots' fixed cost dominates).  Gate on the conv plane area.
+        self.front_conv_dot = (self.front_layout == "rowpad"
+                               and info.conv_oh * info.conv_ow >= 8192)
 
     @property
     def ema_shape(self):
@@ -593,7 +648,8 @@ class EdgeFused:
             interpret=self.interpret,
             rs=(self.mega.rs if self.mega is not None
                 else self.mega_prefix.rs if self.mega_prefix is not None
-                else 128))
+                else 128),
+            conv_dot=self.front_conv_dot)
         if self.front_layout == "rowpad":
             # (N, C, oh, rs) -> (N, C, oh*rs): contiguous, free in XLA
             out = out.reshape(out.shape[:2] + (-1,))

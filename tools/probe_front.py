@@ -70,6 +70,8 @@ def main():
 
     t = timeit(lambda z, w: call(z, w), zt, wf)
     print(f"baseline (bilateral on):   {t:8.2f} us")
+    t = timeit(lambda z, w: call(z, w, conv_dot=True), zt, wf)
+    print(f"MXU-dot conv contraction:  {t:8.2f} us")
     t = timeit(lambda z, w: call(z, w, use_bilateral=False), zt, wf)
     print(f"no bilateral:              {t:8.2f} us")
 
