@@ -163,6 +163,32 @@ def resolve_path(provided: str, type_: str):
     return None
 
 
+def install_default_search_roots() -> None:
+    """Entry-point helper: seed the extra search roots for this container.
+
+    Library code never hardcodes asset locations; entry points (bench,
+    tools, __graft_entry__) call this once at startup.  An installed
+    ``<repo>/models`` tree (``tools/get_models.py --from-dir``) is already
+    preferred by :func:`search_candidates` step 5; the env fallback below
+    only matters when no installed tree exists — then the mounted
+    reference assets (this container's only weight source) are appended
+    as the lowest-priority root, mirroring the reference's self-contained
+    install tree (CMakeLists.txt:153-163) with a dev-container escape
+    hatch.  Already-set env vars always win (opt-in override).
+    """
+    root = _package_root()
+    local = os.path.join(root, "models")
+    os.environ.setdefault(
+        "BACKSCRUB_TPU_MODELS",
+        local if os.path.isdir(local) else "/root/reference/models")
+    local_bg = os.path.join(root, "backgrounds")
+    ref_bg = "/root/reference/backgrounds"
+    os.environ.setdefault(
+        "BACKSCRUB_TPU_BACKGROUNDS",
+        local_bg if os.path.isdir(local_bg)
+        else (ref_bg if os.path.isdir(ref_bg) else local_bg))
+
+
 def resolve_model_path(name: str) -> str:
     """Resolve a model name/path via :func:`resolve_path` with type
     ``models`` (the reference call site, app/deepseg.cc:540)."""

@@ -33,12 +33,16 @@ Reference behavior being reproduced: preprocess chain
 normalize), decode loops ``:317-361``, upscale+blur ``:366-371``.
 
 Numerics: the resize/bilateral math is the same expression sequence as
-``pipeline.image``/``ops.pallas_kernels`` (same taps, same order); the
-conv runs as f32 VPU FMAs (at least as precise as the MXU HIGHEST
-6-pass); the tail's channel-difference dot changes summation order vs
-computing both channels separately, which can flip decode decisions on
-threshold-boundary pixels — the same +-1-ulp class as batched serving
-(CLAUDE.md), gated by the IoU goldens and the on-chip parity run.
+``pipeline.image``/``ops.pallas_kernels`` (same taps, same order).  The
+first conv has two execution modes: small canvases run the 27-tap
+contraction as f32 VPU FMAs (at least as precise as the MXU HIGHEST
+6-pass); large canvases (``front_conv_dot``, gated on conv plane area)
+run it as an MXU dot at HIGHEST, whose summation order differs from the
+FMA loop by the usual reassociation ulps.  That, and the tail's
+channel-difference dot (vs computing both channels separately), can flip
+decode decisions on threshold-boundary pixels — the same +-1-ulp class
+as batched serving (CLAUDE.md), gated by the IoU goldens, the tolerance
+invariant in tests, and the on-chip parity run.
 """
 
 from __future__ import annotations

@@ -177,6 +177,9 @@ class MultiStreamServer:
             self.backgrounds = jax.device_put(self._bg_host,
                                               ms._batch_sharding)
         self._ring: collections.deque = collections.deque()
+        # serializes pop+deliver so concurrent drainers (a tick racing a
+        # bucket-grow migration) can never invert a stream's output order
+        self._ring_lock = threading.Lock()
 
     def _store(self, s: int, frame) -> None:
         """Write one stream's frame into batch slot s (validating shape)."""
@@ -252,18 +255,20 @@ class MultiStreamServer:
         self._ring.append((out, deliver, list(self._gen)))
 
     def _drain(self, force: bool = False):
-        while self._ring and (force or len(self._ring) > self.depth):
-            out, deliver, gens = self._ring.popleft()
-            # mjpg-output pipelines return coefficient pytrees; each leaf
-            # is stream-batched on axis 0
-            tree = jax.tree_util.tree_map(np.asarray, out)
-            is_tree = isinstance(tree, (tuple, list))
-            for s, sink in enumerate(self.sinks):
-                # gen check: never hand a previous occupant's in-flight
-                # result to a slot that was re-attached since the dispatch
-                if sink is not None and deliver[s] and gens[s] == self._gen[s]:
-                    sink(jax.tree_util.tree_map(lambda a: a[s], tree)
-                         if is_tree else tree[s])
+        with self._ring_lock:
+            while self._ring and (force or len(self._ring) > self.depth):
+                out, deliver, gens = self._ring.popleft()
+                # mjpg-output pipelines return coefficient pytrees; each
+                # leaf is stream-batched on axis 0
+                tree = jax.tree_util.tree_map(np.asarray, out)
+                is_tree = isinstance(tree, (tuple, list))
+                for s, sink in enumerate(self.sinks):
+                    # gen check: never hand a previous occupant's in-flight
+                    # result to a slot re-attached since the dispatch
+                    if (sink is not None and deliver[s]
+                            and gens[s] == self._gen[s]):
+                        sink(jax.tree_util.tree_map(lambda a: a[s], tree)
+                             if is_tree else tree[s])
 
     # -- elastic membership --------------------------------------------------
     def attach(self, source: Callable[[], Optional[np.ndarray]],
@@ -403,6 +408,21 @@ class MultiStreamServer:
         return ticks
 
 
+class _StreamHandle:
+    """Opaque handle for a stream attached through MultiGeometryServer.
+
+    Indirection (server, slot) -> handle keeps handles valid across bucket
+    CAPACITY growth: when a full bucket is replaced by a larger sibling,
+    the migration rewrites every live handle's ``srv`` in place, so a
+    handle taken before the grow still detaches the right stream after."""
+
+    __slots__ = ("srv", "slot")
+
+    def __init__(self, srv: "MultiStreamServer", slot: int):
+        self.srv = srv
+        self.slot = slot
+
+
 class MultiGeometryServer:
     """Serve streams of DIFFERENT geometries in one server.
 
@@ -432,8 +452,14 @@ class MultiGeometryServer:
     pipeline compiles and warms OFF the tick path (one discarded dummy
     dispatch before the bucket is spliced into the loop), so existing
     buckets' ticks never stall on a compile; :meth:`detach` frees the
-    slot and retires a bucket whose last stream left.  A camera
-    connecting is a slot update even when its geometry is novel.
+    slot and retires a bucket whose last stream left.  Capacity is
+    elastic too: attaching to a FULL bucket builds a larger sibling
+    (slots rounded up by the mesh data axis) off the tick path, migrates
+    every occupied slot — sources, sinks, frames, backgrounds, reader
+    threads, and the per-stream temporal EMA state, so existing streams'
+    outputs stay bit-identical through the grow — and splices it in
+    place of the old bucket.  A camera connecting is a slot update even
+    when its geometry is novel or its bucket is full.
     """
 
     def __init__(self, model: str, config, streams: Sequence[tuple],
@@ -458,6 +484,7 @@ class MultiGeometryServer:
         self._keep_alive = keep_alive
         self._lock = threading.Lock()
         self._started = False
+        self._handles: List[_StreamHandle] = []  # live attach() handles
         self.servers: List[MultiStreamServer] = []
         self._keys: List[tuple] = []  # parallel to self.servers
         for key, (jinfo, members) in groups.items():
@@ -510,54 +537,136 @@ class MultiGeometryServer:
         return len(self.servers)
 
     # -- elastic membership (bucket level) -----------------------------------
+    def _register(self, srv: MultiStreamServer, slot: int) -> _StreamHandle:
+        """Record a live handle (callers hold self._lock)."""
+        h = _StreamHandle(srv, slot)
+        self._handles.append(h)
+        return h
+
+    def _migrate(self, old: MultiStreamServer, new: MultiStreamServer) -> None:
+        """Move every occupied slot of ``old`` into the same slot index of
+        the larger, warmed, unstarted ``new`` (callers hold self._lock AND
+        old._slots_lock, so no tick is mid-flight on ``old``).
+
+        Existing streams' outputs stay bit-identical through the grow:
+        in-flight results drain through the old sinks first, then frames,
+        backgrounds, reader threads (with their latest/seq state) and the
+        per-stream temporal EMA device state all ride along.  ``old`` is
+        left empty so a racing tick that already snapshotted it idles."""
+        S_old = old.ms.n_streams
+        old._drain(force=True)
+        new.sources[:S_old] = old.sources
+        new.sinks[:S_old] = old.sinks
+        new._live[:S_old] = old._live
+        new._ever[:S_old] = old._ever
+        if old._mjpg:
+            ocoefs, oqt = old._frames
+            ncoefs, nqt = new._frames
+            for c in range(len(ocoefs)):
+                ncoefs[c][:S_old] = ocoefs[c]
+            nqt[:S_old] = oqt
+        else:
+            new._frames[:S_old] = old._frames
+        ema = np.asarray(old.ms.ema)
+        full = np.full((new.ms.n_streams,) + ema.shape[1:], 255, ema.dtype)
+        full[:S_old] = ema
+        new.ms.ema = jax.device_put(full, new.ms._batch_sharding)
+        if callable(old.backgrounds):
+            new.backgrounds = old.backgrounds
+        elif old._bg_host is not None:
+            new._bg_host = new._pad_batch(old._bg_host).copy()
+            new.backgrounds = jax.device_put(new._bg_host,
+                                             new.ms._batch_sharding)
+        if old._readers is not None:
+            new._readers = (list(old._readers)
+                            + [None] * (new.ms.n_streams - S_old))
+            old._readers = None  # old.finish() must not stop moved readers
+        new.n_real = old.n_real
+        # empty the old server: a tick that snapshotted it pre-splice finds
+        # nothing live and idles; its sinks never fire again (ring drained)
+        old.sources = [None] * S_old
+        old.sinks = [None] * S_old
+        old._live = [False] * S_old
+        old._ever = [False] * S_old
+        for h in self._handles:
+            if h.srv is old:
+                h.srv = new
+
     def attach(self, source: Callable[[], Optional[np.ndarray]],
                sink: Callable[[np.ndarray], None],
                width: int, height: int, *,
                background: Optional[np.ndarray] = None,
-               jpeg_info=None, model: Optional[str] = None) -> tuple:
+               jpeg_info=None, model: Optional[str] = None) -> _StreamHandle:
         """Attach a stream at runtime, creating its (model, geometry)
-        bucket if none exists yet.
+        bucket if none exists yet — or GROWING the bucket when it is full.
 
-        New-bucket creation happens OFF the tick path: the pipeline is
+        Both slow paths happen OFF the tick path: the (larger) pipeline is
         built and its batched step compiled + warmed with one discarded
         dummy dispatch *before* the bucket is spliced into the serving
         loop, so concurrent ticks of existing buckets never stall on a
-        compile.  Returns an opaque handle for :meth:`detach`."""
+        compile.  Returns an opaque handle for :meth:`detach` (stable
+        across later grows)."""
         smodel = model or self._model
         key = (smodel, width, height,
                jpeg_info.sampling if jpeg_info is not None else None)
-        with self._lock:
-            for srv, k in zip(self.servers, self._keys):
-                if k == key:
-                    slot = srv.attach(source, sink, background)
-                    return (srv, slot)
-        # no bucket: build + compile + warm outside the lock (slow path —
-        # existing buckets keep ticking through it)
-        srv = self._build_bucket(key, jpeg_info, 1)
-        srv.ms.step(srv._frames, None)  # forces compile; result discarded
-        with self._lock:
-            # a racing attach may have created the same bucket meanwhile
-            for other, k in zip(self.servers, self._keys):
-                if k == key:
+        while True:
+            with self._lock:
+                cur = None
+                for srv, k in zip(self.servers, self._keys):
+                    if k == key:
+                        cur = srv
+                        try:
+                            slot = srv.attach(source, sink, background)
+                            return self._register(srv, slot)
+                        except RuntimeError:
+                            # full bucket -> grow (slow path below)
+                            occupied = sum(s is not None for s in srv.sources)
+                        break
+            # slow path: build + compile + warm outside the lock (existing
+            # buckets keep ticking through it)
+            new = self._build_bucket(key, jpeg_info,
+                                     occupied + 1 if cur is not None else 1)
+            new.ms.step(new._frames, None)  # forces compile; discarded
+            with self._lock:
+                # re-find by key: the bucket may have freed a slot, been
+                # grown by a racing attach, or been retired meanwhile
+                live = None
+                for srv, k in zip(self.servers, self._keys):
+                    if k == key:
+                        live = srv
+                        break
+                if live is not None:
                     try:
-                        slot = other.attach(source, sink, background)
-                        return (other, slot)
+                        slot = live.attach(source, sink, background)
+                        return self._register(live, slot)
                     except RuntimeError:
-                        pass  # full — fall through to splice ours
-            slot = srv.attach(source, sink, background)
-            if self._started:
-                srv.start()
-            self.servers.append(srv)
-            self._keys.append(key)
-            return (srv, slot)
+                        if live.ms.n_streams >= new.ms.n_streams:
+                            continue  # raced: rebuild a bigger sibling
+                        with live._slots_lock:
+                            self._migrate(live, new)
+                        i = self.servers.index(live)
+                        self.servers[i] = new
+                        slot = new.attach(source, sink, background)
+                        if self._started:
+                            new.start()
+                        return self._register(new, slot)
+                # novel bucket (or the old one retired while we built)
+                slot = new.attach(source, sink, background)
+                if self._started:
+                    new.start()
+                self.servers.append(new)
+                self._keys.append(key)
+                return self._register(new, slot)
 
-    def detach(self, handle: tuple) -> None:
+    def detach(self, handle: _StreamHandle) -> None:
         """Detach a stream by its :meth:`attach` handle; a bucket whose
         last stream leaves is retired (its ring flushed, readers stopped,
         device buffers released) without interrupting other buckets."""
-        srv, slot = handle
+        srv, slot = handle.srv, handle.slot
         with self._lock:
             srv.detach(slot)
+            if handle in self._handles:
+                self._handles.remove(handle)
             if any(s is not None for s in srv.sources):
                 return
             # last stream left: retire the bucket

@@ -28,9 +28,14 @@ import time
 
 import numpy as np
 
-# This container ships no weights of its own; the mounted reference assets
-# are an explicit extra search root (library code never hardcodes them).
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+from backscrub_tpu.utils.artifacts import atomic_json_dump
+
+# Weights resolve like the CLI does: an installed ./models tree (from
+# `tools/get_models.py --from-dir`) wins via resolve_path step 5; the
+# mounted reference assets are only a last-resort search root for this
+# container (library code never hardcodes them).
+install_default_search_roots()
 
 REF_FPS = 30.0
 WARMUP = 10
@@ -519,8 +524,7 @@ def run_config_sweep(names=None, merge=False):
         except Exception as e:  # keep the sweep robust
             results[name] = {"error": str(e)[:200]}
             print(f"  {name:30s} ERROR {e}", file=sys.stderr)
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    atomic_json_dump(results, "BENCH_DETAILS.json")
     return results
 
 
@@ -650,8 +654,7 @@ def run_parity_check():
     record["min_iou"] = round(float(worst), 4)
     record["ok"] = bool(worst >= 0.99 and pack_ok and edge_ok and bf16_ok
                         and span_ok)
-    with open("PARITY_ONCHIP.json", "w") as fh:
-        json.dump(record, fh, indent=1)
+    atomic_json_dump(record, "PARITY_ONCHIP.json")
     print("  wrote PARITY_ONCHIP.json", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),
                       "unit": "iou", "vs_baseline": round(worst / 0.99, 3)}))
@@ -734,8 +737,7 @@ def run_attrib():
             results = json.load(f)
     results["step_attribution_720p"] = rec
     results["roofline_720p"] = s
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    atomic_json_dump(results, "BENCH_DETAILS.json")
     print(json.dumps({"metric": "step_attribution_720p_full_us",
                       "value": rec["full_step_us"], "unit": "us",
                       "vs_baseline": 1.0}))

@@ -527,9 +527,16 @@ def test_body_megakernel_prefix_parity(name):
     m = on.edge.mega_prefix.out_meta
     assert m.sp > 1 and m.rows <= 33
     for _ in range(3):
-        a = on.process(img)
-        b = off.process(img)
-        np.testing.assert_array_equal(a, b)
+        # NOT asserted byte-identical: the prefix path auto-enables the
+        # front conv_dot on these large-canvas families, whose tap
+        # contraction reassociates the 27-tap sum vs the FMA path — the
+        # same threshold-boundary decode-flip class as batched serving,
+        # so the established tolerance invariant applies (CLAUDE.md:
+        # per-byte diff <= 1, frame <= 2% differing bytes).
+        a = on.process(img).astype(np.int16)
+        b = off.process(img).astype(np.int16)
+        assert np.abs(a - b).max() <= 1
+        assert float((a != b).mean()) <= 0.02
 
 
 def test_body_megakernel_prefix_rejects():

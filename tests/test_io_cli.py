@@ -160,36 +160,45 @@ def test_latest_frame_reader_skips_to_newest():
 
 
 def test_latest_frame_reader_overlaps_decode():
-    """Decode in the reader thread overlaps consumer 'dispatch' work: total
-    wall time is well under the serialized sum (the MJPG critical-path fix)."""
+    """Decode in the reader thread overlaps consumer 'dispatch' work (the
+    MJPG critical-path fix).  Asserted structurally — some decode interval
+    must intersect some consumer-work interval — rather than by wall time:
+    a serialized implementation (decode inside read()) has exactly zero
+    overlap, while scheduler contention on this 1-core container only
+    stretches the timeline without destroying overlap (the old <0.8x-serial
+    wall-clock assertion was a recorded contention flake, VERDICT r4)."""
     from backscrub_tpu.io.streams import LatestFrameReader
     import time as _time
 
     N, DECODE_S, WORK_S = 10, 0.02, 0.02
     counter = [0]
+    decode_iv, work_iv = [], []
 
     def produce():
         if counter[0] >= N:
             return None
         counter[0] += 1
+        t0 = _time.perf_counter()
         _time.sleep(DECODE_S)  # synthetic imdecode
+        decode_iv.append((t0, _time.perf_counter()))
         return np.full((1,), counter[0], np.uint8)
 
     r = LatestFrameReader(produce)
-    t0 = _time.perf_counter()
     got = 0
     while True:
-        f = r.read(timeout=2.0)
+        f = r.read(timeout=10.0)
         if f is None:
             break
+        t0 = _time.perf_counter()
         _time.sleep(WORK_S)  # synthetic device dispatch
+        work_iv.append((t0, _time.perf_counter()))
         got += 1
-    elapsed = _time.perf_counter() - t0
     r.close()
-    serial = N * (DECODE_S + WORK_S)
     assert got >= N // 2
-    assert elapsed < 0.8 * serial, \
-        f"decode serialized with dispatch: {elapsed:.3f}s vs serial {serial:.3f}s"
+    overlap = sum(max(0.0, min(d1, w1) - max(d0, w0))
+                  for d0, d1 in decode_iv for w0, w1 in work_iv)
+    assert overlap > 0.25 * WORK_S, \
+        f"decode serialized with dispatch: overlap {overlap * 1e3:.1f} ms"
 
 
 def test_null_sink_counts():

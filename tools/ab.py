@@ -28,7 +28,8 @@ import numpy as np
 _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+install_default_search_roots()
 
 PRECS = {"highest": "HIGHEST", "high": "HIGH", "default": "DEFAULT"}
 

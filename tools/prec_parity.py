@@ -29,22 +29,27 @@ import numpy as np
 _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+install_default_search_roots()
 
 
 def make_frames(n: int, w: int = 1280, h: int = 720):
     """Portrait + still background + any real photos the environment has
-    (diagnostic only — the mounted reference's backgrounds/, when present,
-    are actual photographs that excite non-background classes) +
-    low-frequency random fields."""
+    (diagnostic only — extra photo roots come from the
+    BACKSCRUB_TPU_BACKGROUNDS search path, never a hardcoded mount;
+    real photographs excite non-background classes) + low-frequency
+    random fields."""
     import glob
     import cv2
     from gen_assets import ensure_assets
     portrait, _, still = ensure_assets()
     frames = [cv2.resize(cv2.imread(portrait), (w, h)),
               cv2.resize(cv2.imread(still), (w, h))]
-    photos = (sorted(glob.glob("/root/reference/backgrounds/*.jpg"))
-              + sorted(glob.glob("/root/reference/backgrounds/*.png")))
+    photos = []
+    for root in os.environ.get("BACKSCRUB_TPU_BACKGROUNDS", "").split(":"):
+        if root:
+            photos += (sorted(glob.glob(os.path.join(root, "*.jpg")))
+                       + sorted(glob.glob(os.path.join(root, "*.png"))))
     for p in photos[:4]:
         img = cv2.imread(p)
         if img is not None:

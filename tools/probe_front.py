@@ -10,7 +10,8 @@ import os
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+install_default_search_roots()
 
 import numpy as np
 import jax
@@ -38,11 +39,20 @@ def timeit(fn, *args, iters=400):
     return est[len(est) // 2]
 
 
+MODELS = {
+    "deeplab": ("deeplabv3_257_mv_gpu.tflite", 1280, 720),
+    "bodypix": ("body-pix-float-050-8.tflite", 1280, 720),
+    "mlkit": ("selfiesegmentation_mlkit-256x256-2021_01_19-v1215.f16.tflite",
+              1280, 720),
+    "segm_full": ("segm_full_v679.tflite", 1280, 720),
+    "segm": ("segm_lite_v681.tflite", 640, 480),
+}
+
+
 def main():
     from backscrub_tpu.pipeline.maskgen import MaskGen
-    name = ("segm_lite_v681.tflite" if "segm" in sys.argv[1:]
-            else "deeplabv3_257_mv_gpu.tflite")
-    w, h = (640, 480) if "segm" in sys.argv[1:] else (1280, 720)
+    arg = next((a for a in sys.argv[1:] if a in MODELS), "deeplab")
+    name, w, h = MODELS[arg]
     mg = MaskGen(name, w, h, edge_fused=True)
     e = mg.edge
     info = e.info

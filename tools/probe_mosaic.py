@@ -34,7 +34,8 @@ import time
 import functools
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+install_default_search_roots()
 
 import numpy as np
 import jax

@@ -37,7 +37,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+from backscrub_tpu.utils.artifacts import atomic_json_dump
+install_default_search_roots()
 
 # v5e roofs (public spec): 197 bf16 TFLOP/s, 819 GB/s HBM
 PEAK_BF16_TFLOPS = 197.0
@@ -405,8 +407,7 @@ def main(argv=None) -> int:
         with open("BENCH_DETAILS.json") as f:
             results = json.load(f)
     results[key] = s
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    atomic_json_dump(results, "BENCH_DETAILS.json")
 
     if not args.json_only:
         print(f"\n== {key} (device {dev}) ==", file=sys.stderr)

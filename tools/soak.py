@@ -53,7 +53,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
-os.environ.setdefault("BACKSCRUB_TPU_MODELS", "/root/reference/models")
+from backscrub_tpu.models.specs import install_default_search_roots
+from backscrub_tpu.utils.artifacts import atomic_json_dump
+install_default_search_roots()
 
 
 def rss_mb() -> float:
@@ -312,8 +314,7 @@ def main(argv=None) -> int:
         "rss_growth_mb": round(growth, 1),
         "device": str(jax.devices()[0]),
     }
-    with open(args.report, "w") as f:
-        json.dump(report, f, indent=1)
+    atomic_json_dump(report, args.report)
     print(json.dumps(report))
     return 0 if report["ok"] else 1
 
