@@ -55,6 +55,33 @@ def conv2d(ctx, node):
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
+def _dw_shift_dilated(x, w, dil, acc_dtype):
+    """Dilated SAME stride-1 depthwise conv as fh*fw shifted multiply-adds.
+
+    Probe-only alternative to the grouped-conv emitter for the atrous DWs
+    of deeplab/bodypix (33x33, C>=96: channels fill the lanes, unlike the
+    C=16 case where the same formulation measured 1.3 GB/s and was
+    rejected — see the note in depthwise_conv2d).  Gated by
+    BACKSCRUB_DW_DILATED=shift; tools/probe_dw.py measures it.
+    """
+    fh, fw = w.shape[0], w.shape[1]
+    dh, dw_ = dil
+    pt_h, pt_w = (fh - 1) * dh, (fw - 1) * dw_
+    lo_h, lo_w = pt_h // 2, pt_w // 2
+    H, W = x.shape[1], x.shape[2]
+    xp = jnp.pad(x.astype(acc_dtype),
+                 ((0, 0), (lo_h, pt_h - lo_h), (lo_w, pt_w - lo_w), (0, 0)))
+    acc = None
+    for i in range(fh):
+        for j in range(fw):
+            tap = lax.slice(xp, (0, i * dh, j * dw_, 0),
+                            (xp.shape[0], i * dh + H, j * dw_ + W,
+                             xp.shape[3]))
+            term = tap * w[i, j, 0, :].astype(acc_dtype)
+            acc = term if acc is None else acc + term
+    return acc
+
+
 @register("DEPTHWISE_CONV_2D")
 def depthwise_conv2d(ctx, node):
     x = ctx.get(node.inputs[0])
@@ -69,22 +96,31 @@ def depthwise_conv2d(ctx, node):
     # that runs at 1.3 GB/s — 92us for the first 48x80x16 DW at B=1 vs
     # <1us on the grouped-conv emitter.  The emitter has its own pathology
     # at batch — the same layer costs 312us/step at B=16 — documented in
-    # PERF.md as an XLA emitter issue, not fixable by reformulation here.)
+    # PERF.md as an XLA emitter issue, not fixable by reformulation here.
+    # The DILATED C>=96 case is separately probeable via
+    # BACKSCRUB_DW_DILATED=shift: full lanes change the economics —
+    # tools/probe_dw.py holds the measurement.)
     w = ctx.get_const(node.inputs[1],
                       prepare=lambda a: np.transpose(a, (1, 2, 0, 3)),  # (fh, fw, 1, C*M)
                       inverse=lambda a: np.transpose(a, (2, 0, 1, 3)),
                       variant="dw")
     dil = (o.get("dilation_h", 1), o.get("dilation_w", 1))
-    y = lax.conv_general_dilated(
-        x, w,
-        window_strides=(o["stride_h"], o["stride_w"]),
-        padding=o["padding"],
-        rhs_dilation=dil,
-        dimension_numbers=_DIMNUMS,
-        feature_group_count=in_ch,
-        precision=_conv_precision(ctx),
-        preferred_element_type=ctx.acc_dtype,
-    )
+    import os
+    if (dil != (1, 1) and mult == 1 and o.get("padding") == "SAME"
+            and o["stride_h"] == 1 and o["stride_w"] == 1
+            and os.environ.get("BACKSCRUB_DW_DILATED") == "shift"):
+        y = _dw_shift_dilated(x, w, dil, ctx.acc_dtype)
+    else:
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=(o["stride_h"], o["stride_w"]),
+            padding=o["padding"],
+            rhs_dilation=dil,
+            dimension_numbers=_DIMNUMS,
+            feature_group_count=in_ch,
+            precision=_conv_precision(ctx),
+            preferred_element_type=ctx.acc_dtype,
+        )
     if len(node.inputs) > 2 and node.inputs[2] >= 0:
         y = y + ctx.get_const(node.inputs[2])
     y = apply_activation(y, o.get("activation"))

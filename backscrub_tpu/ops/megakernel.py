@@ -234,17 +234,20 @@ class BodyMega:
                 if o.get("depth_multiplier", 1) != 1 or m.vec \
                         or o.get("padding") != "SAME":
                     raise Unsupported("dw variant")
-                if o.get("dilation_h", 1) != 1 or o.get("dilation_w", 1) != 1:
-                    # the tap offsets below assume dense 3x3 reach; an
-                    # atrous DW (deeplab/bodypix 33x33 stages) must fall
-                    # back to the XLA lowering, never be mis-lowered dense
-                    raise Unsupported("dw dilation")
+                dil = o.get("dilation_h", 1)
+                if o.get("dilation_w", 1) != dil:
+                    raise Unsupported("anisotropic dw dilation")
                 w = hparam(node.inputs[1], "dw")   # (fh, fw, 1, C)
                 fh, fw = w.shape[0], w.shape[1]
                 s = o.get("stride_h", 1)
                 if o.get("stride_w", 1) != s or s not in (1, 2):
                     raise Unsupported("dw stride")
-                if m.w * m.sp + (fw - 1) * m.sp > rs:
+                if dil != 1 and s != 1:
+                    # atrous DWs in the bundled graphs are all stride 1
+                    # (deeplab/bodypix 33x33 stages); a dilated stride-2
+                    # would need its own output-grid math — reject
+                    raise Unsupported("dilated strided dw")
+                if m.w * m.sp + (fw - 1) * m.sp * dil > rs:
                     raise Unsupported("dw column reach exceeds row stride")
                 b = bias_of(node)
                 wi = wref(w[:, :, 0, :].reshape(fh * fw, m.c).T)  # (C, taps)
@@ -255,9 +258,9 @@ class BodyMega:
                 else:
                     om = _T(m.c, -(-m.rows // 2), -(-m.w // 2), m.sp * 2)
                 self.plan.append((
-                    "dw", node.inputs[0], out, wi, bi, fh, fw, s,
-                    tflite_same_padding(m.rows, fh, s)[0],
-                    tflite_same_padding(m.w, fw, s)[0],
+                    "dw", node.inputs[0], out, wi, bi, fh, fw, s, dil,
+                    tflite_same_padding(m.rows, fh, s, dil)[0],
+                    tflite_same_padding(m.w, fw, s, dil)[0],
                     act_of(o), mask_ref(om)))
                 self.meta[out] = om
             elif k == "FULLY_CONNECTED":
@@ -329,6 +332,34 @@ class BodyMega:
                 if size is None:
                     raise Unsupported("dynamic resize size")
                 oh, ow = int(size.reshape(-1)[0]), int(size.reshape(-1)[1])
+                if m.vec:
+                    # 1x1 -> NxN bilinear is a constant broadcast (deeplab
+                    # ASPP image-pooling branch, node 63): write the (c,1)
+                    # vector to every populated grid lane.  Output spacing
+                    # follows any existing spatial meta of the same dims
+                    # (the concat consumer requires matching sp).
+                    sps = {mm.sp for mm in self.meta.values()
+                           if not mm.vec and (mm.rows, mm.w) == (oh, ow)}
+                    om = _T(m.c, oh, ow, sps.pop() if len(sps) == 1 else 1)
+                    self.plan.append(("bcast", node.inputs[0], out,
+                                      mask_ref(om)))
+                    self.meta[out] = om
+                    continue
+                if (oh, ow) == (m.rows, m.w):
+                    # same-size resize: identity iff the interpolation
+                    # matrices are exact identities (deeplab node 68,
+                    # align_corners 33->33)
+                    ac = o.get("align_corners", False)
+                    hpc = o.get("half_pixel_centers", False)
+                    if (np.array_equal(resize_matrix(m.rows, oh, ac, hpc),
+                                       np.eye(m.rows, dtype=np.float32))
+                            and np.array_equal(
+                                resize_matrix(m.w, ow, ac, hpc),
+                                np.eye(m.w, dtype=np.float32))):
+                        self.plan.append(("act", "NONE", node.inputs[0], out))
+                        self.meta[out] = m
+                        continue
+                    raise Unsupported("same-size non-identity resize")
                 if (oh, ow) != (2 * m.rows, 2 * m.w) or m.sp % 2:
                     raise Unsupported("non-2x resize")
                 ac = o.get("align_corners", False)
@@ -412,17 +443,19 @@ class BodyMega:
                     y = y * ws[mi]
                 env[tout] = y
             elif op == "dw":
-                _, tin, tout, wi, bi, fh, fw, s, plo_h, plo_w, act, mi = p
+                _, tin, tout, wi, bi, fh, fw, s, dil, plo_h, plo_w, act, mi = p
                 m = self.meta[tin]
                 om = self.meta[tout]
                 L = m.rows * rs
                 x0 = env[tin]
                 w = ws[wi]
-                hi_r = fh - 1 - plo_h
+                # row reach spans (fh-1)*dil rows at dilation dil; padded
+                # rows are zero, matching SAME zero padding exactly
+                hi_r = (fh - 1) * dil - plo_h
                 xp = jnp.pad(x0, ((0, 0), (plo_h * rs, hi_r * rs)))
                 acc = None
                 for tj in range(fw):
-                    dj = (tj - plo_w) * m.sp
+                    dj = (tj * dil - plo_w) * m.sp
                     n = xp.shape[1]
                     if dj > 0:
                         sh = jnp.pad(xp[:, dj:], ((0, 0), (0, dj)))
@@ -431,7 +464,7 @@ class BodyMega:
                     else:
                         sh = xp
                     for ti in range(fh):
-                        off = ti * rs
+                        off = ti * dil * rs
                         tap = sh[:, off:off + L]
                         t = ti * fw + tj
                         term = tap * w[:, t:t + 1]
@@ -462,6 +495,10 @@ class BodyMega:
             elif op == "act":
                 _, k, tin, tout = p
                 env[tout] = _act_fn(k)(env[tin])
+            elif op == "bcast":
+                _, tin, tout, mi = p
+                # (c, 1) vector -> constant over the populated grid lanes
+                env[tout] = env[tin] * ws[mi]
             elif op == "concat":
                 _, tins, tout = p
                 env[tout] = jnp.concatenate([env[t] for t in tins], axis=0)
@@ -637,3 +674,95 @@ def body_mega_prefix_for(model, info, *, interpret: bool = False,
         end -= 1
         produced.difference_update(nodes[end].outputs)
     return None
+
+
+def _span_vmem_estimate(g, nodes, start: int, end: int, rs: int) -> int:
+    """Pessimistic all-live VMEM estimate of a span's kernel: every spatial
+    intermediate at (c, rows*rs) f32 plus the weight operands.  Mosaic does
+    not reliably free unrolled temporaries (CLAUDE.md round-3 lesson), so
+    chunking decisions assume nothing is freed."""
+    total = 0
+    for n in nodes[start:end]:
+        s = g.tensor(n.outputs[0]).shape
+        if s and len(s) == 4 and (s[1] > 1 or s[2] > 1):
+            total += int(s[3]) * int(s[1]) * rs * 4
+        for t in n.inputs[1:]:
+            d = g.tensor(t) if t >= 0 else None
+            if d is not None and d.shape:
+                total += int(np.prod(d.shape)) * 4
+    return total
+
+
+def body_mega_continuation_for(model, info, start: int, in_tid: int, *,
+                               interpret: bool = False,
+                               budget_bytes: int = 40 * 2**20):
+    """Chain of compact-spacing megakernels over the body span after the
+    prefix cut (the 33x33 regime the prefix deliberately leaves to XLA).
+
+    The round-4 rooflines showed that regime is NOT near any roof under
+    XLA: deeplab's post-cut body traces 163 us of convolutions (three
+    dilation-4 480-channel DWs at ~12.5 us each) plus ~50 us of relu6/
+    layout copies; bodypix 63 + 51 us.  In a compact (sp=1) rowpad
+    kernel the same span is weight-stationary MXU dots over (c, 33*128)
+    slabs, dilated-DW lane/row shifts, and zero relayouts.  The chain is
+    split at single-crossing boundaries whenever the pessimistic
+    all-live VMEM estimate exceeds ``budget_bytes`` (deeplab's full span
+    estimates ~147 MB against the 128 MB physical VMEM); consecutive
+    links pass (c, rows*RS) rowpad directly — the inter-kernel boundary
+    is HBM traffic only, a few hundred KB at the low-C crossing tensors.
+
+    Returns (megas, end_node, out_tid) or None.  The caller bridges the
+    prefix's spaced rowpad output to compact rowpad (lane slice at sp +
+    pad to the new RS) and the final rowpad output to NHWC.
+    """
+    if getattr(model, "quantize_mode", None):
+        return None
+    g = model.graph
+    nodes = g.nodes
+    megas: List[BodyMega] = []
+    cur, cur_in = start, in_tid
+    while cur < info.body_end:
+        far = cur
+        for i in range(cur, info.body_end):
+            n = nodes[i]
+            if n.kind not in SUPPORTED:
+                break
+            s = g.tensor(n.outputs[0]).shape
+            if s is None or len(s) != 4:
+                break
+            far = i + 1
+        if far == cur:
+            break
+        produced = {cur_in}
+        for n in nodes[cur:far]:
+            produced.update(n.outputs)
+        end = far
+        built = None
+        min_nodes = 4 if not megas else 1
+        while end - cur >= min_nodes:
+            crossing = set()
+            for n in nodes[end:info.body_end]:
+                for t in n.inputs:
+                    if t in produced:
+                        crossing.add(t)
+            if end == info.body_end and info.body_out_tensor in produced:
+                crossing.add(info.body_out_tensor)
+            if (len(crossing) == 1
+                    and _span_vmem_estimate(g, nodes, cur, end,
+                                            128) <= budget_bytes):
+                tid = next(iter(crossing))
+                try:
+                    built = (BodyMega(model, cur, end, cur_in, tid,
+                                      interpret=interpret), end, tid)
+                    break
+                except Unsupported:
+                    pass
+            end -= 1
+            produced.difference_update(nodes[end].outputs)
+        if built is None:
+            break
+        megas.append(built[0])
+        cur, cur_in = built[1], built[2]
+    if not megas:
+        return None
+    return megas, cur, cur_in

@@ -502,7 +502,7 @@ class EdgeFused:
                  use_bilateral: bool = True, precision=None,
                  interpret: bool = False, refine: str = "box",
                  morph: str = "", u8_exact: bool = False,
-                 mega: Optional[bool] = None):
+                 mega: Optional[bool] = None, cont: bool = False):
         from .maskgen import _resize_precision
         self.model = model
         self.geo = geo
@@ -567,6 +567,7 @@ class EdgeFused:
         # nodes[start:end] through the standard lowerings
         self.mega = None
         self.mega_prefix = None
+        self.mega_cont = None
         if info.front_ok and info.tail_ok and mega is not False:
             from ..ops.megakernel import body_mega_for
             self.mega = body_mega_for(model, info, interpret=interpret)
@@ -574,17 +575,39 @@ class EdgeFused:
             # front-only families (deeplab/bodypix): run the tiny-minor-dim
             # early stages (129x129/65x65, C<=72) as one rowpad kernel and
             # hand the cut tensor to the XLA lowerings, which run the
-            # 33x33 C>=96 stages near the MXU roof (PERF.md round 4)
-            from ..ops.megakernel import body_mega_prefix_for
+            # 33x33 C>=96 stages near the MXU roof (PERF.md round 4).
+            # The OPT-IN continuation chain (cont=True) keeps going through
+            # the 33x33 regime as chained compact-spacing (sp=1) rowpad
+            # kernels — bit-exact on TPU but a measured LOSS (deeplab 409
+            # vs 334 us, bodypix 305 vs 207: per-pallas-call overhead plus
+            # the ~3.9x lane padding of 33-wide rows at RS=128 swamps the
+            # relayout copies it eliminates; PERF.md round 5) — kept for
+            # A/B probes (tools/probe_cont.py), never auto-selected.
+            from ..ops.megakernel import (body_mega_continuation_for,
+                                          body_mega_prefix_for)
             r = body_mega_prefix_for(model, info, interpret=interpret)
             if r is not None:
                 self.mega_prefix, self._cut_end, self._cut_tid = r
+                if cont:
+                    rc = body_mega_continuation_for(
+                        model, info, self._cut_end, self._cut_tid,
+                        interpret=interpret)
+                    if rc is not None:
+                        self.mega_cont, self._cont_end, self._cont_tid = rc
         if mega and self.mega is None:
             raise ValueError("mega=True but the body span does not qualify "
                              "for the megakernel (needs both fused edge "
                              "layers and a supported op span)")
         if self.mega is not None:
             self._body = None
+        elif self.mega_cont is not None:
+            # remainder after the continuation chain (empty when the chain
+            # reaches the graph output — bodypix)
+            self._body = (None if (self._cont_end == info.body_end
+                                   and self._cont_tid == info.body_out_tensor)
+                          else _make_span_fn(model, self._cont_end,
+                                             info.body_end, self._cont_tid,
+                                             info.body_out_tensor))
         elif self.mega_prefix is not None:
             self._body = _make_span_fn(model, self._cut_end, info.body_end,
                                        self._cut_tid, info.body_out_tensor)
@@ -668,17 +691,32 @@ class EdgeFused:
             return self.mega(h)
         if self.mega_prefix is not None:
             # rowpad prefix kernel, then bridge the spaced rowpad cut
-            # tensor to NHWC for the XLA remainder: (c, rows*rs) -> lane
-            # slice at sp -> (rows, w, c).  One small well-shaped relayout
-            # (the cut sits at 33x33, C<=72) instead of the 17 us
-            # chw->NHWC copy + ~25 us of early-DW relayouts it replaces.
+            # tensor out: (c, rows*rs) -> lane slice at sp -> (c, rows, w).
+            # One small well-shaped relayout (the cut sits at 33x33,
+            # C<=72) instead of the 17 us chw->NHWC copy + ~25 us of
+            # early-DW relayouts it replaces.
             h = self.mega_prefix(h)
             m = self.mega_prefix.out_meta
             rs = self.mega_prefix.rs
             h = h.reshape(h.shape[:-1] + (m.rows, rs))
             h = jax.lax.slice_in_dim(h, 0, (m.w - 1) * m.sp + 1, m.sp,
                                      axis=-1)
+            if self.mega_cont is not None:
+                # compact rowpad re-entry: pad each row to the chain's RS
+                # and run the 33x33 regime in-kernel (sp=1 throughout)
+                rs2 = self.mega_cont[0].rs
+                h = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, rs2 - m.w)])
+                h = h.reshape(h.shape[:-2] + (m.rows * rs2,))
+                for mk in self.mega_cont:
+                    h = mk(h)
+                mo = self.mega_cont[-1].out_meta
+                h = h.reshape(h.shape[:-1] + (mo.rows,
+                                              self.mega_cont[-1].rs))
+                h = h[..., :mo.w]
             h = jnp.moveaxis(h, -3, -1)
+            if self._body is None:
+                # the continuation chain produced the body output itself
+                return h
         lead = h.shape[:-3]
         hb = h.reshape((-1,) + h.shape[-3:])
         out = self._body(params, hb)

@@ -68,6 +68,11 @@ class PipelineConfig:
                                      # inside the edge path. None = auto
                                      # (on when the span qualifies);
                                      # False = XLA body lowerings
+    edge_cont: bool = False          # OPT-IN continuation chain after the
+                                     # prefix cut (deeplab/bodypix): bit-
+                                     # exact but measured slower than the
+                                     # XLA body (PERF.md round 5) — for
+                                     # A/B probes only
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |
@@ -155,6 +160,7 @@ class FramePipeline:
                                edge_fused=config.edge_fused,
                                edge_interpret=config.edge_interpret,
                                edge_mega=config.edge_mega,
+                               edge_cont=config.edge_cont,
                                quantize=quantize)
         self.spec = self.maskgen.spec
         self.geo = self.maskgen.geo

@@ -213,6 +213,7 @@ class MaskGen:
                  edge_fused: Optional[bool] = None,
                  edge_interpret: bool = False,
                  edge_mega: Optional[bool] = None,
+                 edge_cont: bool = False,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
                  onmask: Optional[Callable] = None,
@@ -281,7 +282,8 @@ class MaskGen:
                         self.model, self.geo, self.spec, info,
                         use_bilateral=use_bilateral, precision=precision,
                         interpret=not _on_tpu(), refine=refine, morph=morph,
-                        u8_exact=self.u8_exact_post, mega=edge_mega)
+                        u8_exact=self.u8_exact_post, mega=edge_mega,
+                        cont=edge_cont)
                 elif edge_fused:
                     raise ValueError(
                         "edge_fused=True but the model/post configuration "

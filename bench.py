@@ -646,6 +646,34 @@ def run_parity_check():
     print(f"  bf16 body megakernel within tolerance of bf16 XLA body: "
           f"{bf16_ok} (mean diff frac {np.mean(bf16_fracs):.5f})",
           file=sys.stderr)
+    # continuation-chain tolerance (round 5): the OPT-IN chain that runs
+    # the 33x33 C>=96 regime as compact-spacing rowpad kernels after the
+    # prefix cut (edge_cont=True; measured slower than the XLA body —
+    # PERF.md round 5 — but kept parity-proven) — masks vs the XLA body
+    # path under the batched-vs-solo tolerance invariant
+    cont_ok = True
+    record["cont_chain"] = {}
+    for cname in ("deeplabv3_257_mv_gpu.tflite", "body-pix-float-050-8.tflite"):
+        cp = resolve_model_path(cname)
+        c_on = MaskGen(cp, 640, 480, edge_fused=True, edge_cont=True)
+        if c_on.edge is None or c_on.edge.mega_cont is None:
+            record["cont_chain"][cname] = {"built": False, "ok": False}
+            cont_ok = False
+            continue
+        c_off = MaskGen(cp, 640, 480, edge_fused=True, edge_mega=False)
+        entry = {"built": True, "links": len(c_on.edge.mega_cont),
+                 "full_cover": c_on.edge._body is None}
+        c_ok = True
+        for _ in range(3):
+            a = c_on.process(frame).astype(np.int16)
+            b = c_off.process(frame).astype(np.int16)
+            c_ok = c_ok and (int(np.abs(a - b).max()) <= 1
+                             and float((a != b).mean()) <= 0.02)
+        entry["ok"] = c_ok
+        record["cont_chain"][cname] = entry
+        cont_ok = cont_ok and c_ok
+        print(f"  continuation chain within tolerance ({cname[:40]}): "
+              f"{c_ok} ({entry['links']} links)", file=sys.stderr)
     # on-chip megakernel SPAN identity (f32): the rowpad Pallas program vs
     # the span lowerings it replaces, per qualifying family — the recorded
     # artifact behind PERF.md's "matches to 5e-5 on-chip" claim
@@ -653,7 +681,7 @@ def run_parity_check():
     record["mega_span_identity"] = span_rec
     record["min_iou"] = round(float(worst), 4)
     record["ok"] = bool(worst >= 0.99 and pack_ok and edge_ok and bf16_ok
-                        and span_ok)
+                        and cont_ok and span_ok)
     atomic_json_dump(record, "PARITY_ONCHIP.json")
     print("  wrote PARITY_ONCHIP.json", file=sys.stderr)
     print(json.dumps({"metric": "min_mask_iou_on_device", "value": round(worst, 4),

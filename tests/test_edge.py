@@ -539,16 +539,49 @@ def test_body_megakernel_prefix_parity(name):
         assert float((a != b).mean()) <= 0.02
 
 
+@pytest.mark.parametrize("name,full_cover", [
+    ("deeplabv3_257_mv_gpu.tflite", False),   # chain ends before 33->257
+    ("body-pix-float-050-8.tflite", True),    # chain reaches graph output
+])
+def test_body_megakernel_continuation_parity(name, full_cover):
+    """The CONTINUATION chain (round 5): the 33x33 C>=96 regime after the
+    prefix cut runs as chained compact-spacing rowpad kernels — dilated
+    DWs (deeplab dil 2/4, bodypix dil 2), the ASPP global-pool/broadcast-
+    resize/concat branch, and the identity 33->33 resize all in-kernel.
+    Masks must match the XLA body path within the tolerance invariant."""
+    import cv2
+    from conftest import portrait_path
+    from backscrub_tpu.pipeline.maskgen import MaskGen
+
+    img = cv2.resize(cv2.imread(portrait_path()), (320, 240))
+    on = MaskGen(model_path(name), 320, 240,
+                 edge_fused=True, edge_interpret=True, edge_cont=True)
+    off = MaskGen(model_path(name), 320, 240,
+                  edge_fused=True, edge_interpret=True, edge_mega=False)
+    e = on.edge
+    assert e.mega_prefix is not None and e.mega_cont is not None
+    assert (e._body is None) == full_cover
+    assert all(mk.out_meta.sp == 1 for mk in e.mega_cont)
+    for _ in range(3):
+        a = on.process(img).astype(np.int16)
+        b = off.process(img).astype(np.int16)
+        assert np.abs(a - b).max() <= 1
+        assert float((a != b).mean()) <= 0.02
+
+
 def test_body_megakernel_prefix_rejects():
-    """Guards the prefix path must enforce: quantized models never build
-    one (weights would skip their __scale dequant), and a span containing
-    an atrous DW must raise Unsupported, not mis-lower it as dense."""
+    """Guards the prefix/continuation paths must enforce: quantized models
+    never build one (weights would skip their __scale dequant), and an
+    ANISOTROPIC-dilation DW must raise Unsupported, not mis-lower (the
+    isotropic atrous DWs of deeplab/bodypix are supported since round 5 —
+    covered by the continuation parity test below)."""
     import pytest as _pytest
     from backscrub_tpu.graph.executor import load_model
     from backscrub_tpu.models.specs import spec_for_model
     from backscrub_tpu.pipeline.edge import detect_edge
-    from backscrub_tpu.ops.megakernel import (BodyMega, Unsupported,
-                                              body_mega_prefix_for)
+    from backscrub_tpu.ops.megakernel import (
+        BodyMega, Unsupported, body_mega_continuation_for,
+        body_mega_prefix_for)
 
     path = model_path("deeplabv3_257_mv_gpu.tflite")
     model = load_model(path)
@@ -560,9 +593,22 @@ def test_body_megakernel_prefix_rejects():
         host_params = model.host_params
         quantize_mode = "int8"
     assert body_mega_prefix_for(Q, info) is None
-    # deeplab nodes 24..27 contain a dilation-2 depthwise conv: a span
-    # over them must reject at build time
+    assert body_mega_continuation_for(Q, info, 13,
+                                      model.graph.nodes[13].inputs[0]) is None
+    # anisotropic dilation must reject at build time: patch node 25's
+    # options (dilation 2x2 -> 2x1) on a throwaway copy of the node list
     g = model.graph
-    with _pytest.raises(Unsupported):
-        BodyMega(model, 24, 27, g.nodes[24].inputs[0],
-                 g.nodes[26].outputs[0], allow_spaced_output=True)
+    node = g.nodes[25]
+    assert node.kind == "DEPTHWISE_CONV_2D" and node.options["dilation_h"] == 2
+    orig = dict(node.options)
+    try:
+        node.options["dilation_w"] = 1
+        with _pytest.raises(Unsupported):
+            BodyMega(model, 24, 27, g.nodes[24].inputs[0],
+                     g.nodes[26].outputs[0], allow_spaced_output=True)
+    finally:
+        node.options.clear()
+        node.options.update(orig)
+    # and the isotropic original must BUILD (the supported atrous case)
+    BodyMega(model, 24, 27, g.nodes[24].inputs[0], g.nodes[26].outputs[0],
+             allow_spaced_output=True, interpret=True)

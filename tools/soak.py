@@ -126,6 +126,10 @@ class Verifier:
             i = sim.v_checked
             cur = np.asarray(out)
             diff = int((sim.delivered[i] != cur).sum())
+            # free the verified frame (len() is preserved for the ring-leak
+            # invariant and the delivered count) — at 720p a 30-min soak
+            # would otherwise retain tens of GB of checked outputs
+            sim.delivered[i] = None
             if diff:
                 frac = diff / cur.size
                 sim.v_diff_frames += 1
