@@ -38,6 +38,16 @@ class ModelSpec:
     # families keep HIGHEST — their step is layout-bound and the mega
     # kernel already runs their dots one-pass in bf16 mode (PERF.md).
     mxu_precision: str = "highest"
+    # Default for the flat continuation-chain megakernel over the
+    # post-prefix-cut 33x33 body regime (ops/megakernel.py
+    # body_mega_continuation_for) when the caller does not pick
+    # (MaskGen/FramePipeline edge_cont=None).  Measured per family on
+    # the real chip (tools/probe_cont.py, same-session A/B, byte-exact
+    # decode parity): deeplab 266.1 vs 280.8 us/step — ON; bodypix the
+    # same kernel LOSES (~195 vs 167.6 us: its post-cut span is 7
+    # dilation-2 C=256 DWs whose VPU traversal bill exceeds the XLA
+    # conv emitter) — OFF.  PERF.md round-5 section has the full table.
+    edge_cont: bool = False
 
     def expected_channels(self):
         """Output-channel count this decode rule needs (None = any)."""
@@ -47,7 +57,8 @@ class ModelSpec:
 
 _SPECS = {
     "deeplab": ModelSpec("deeplab", scale=1 / 127.5, offset=-1.0,
-                         decode="argmax_person", mxu_precision="high"),
+                         decode="argmax_person", mxu_precision="high",
+                         edge_cont=True),
     "bodypix": ModelSpec("bodypix", scale=1 / 255.0, offset=0.0,
                          decode="threshold", mxu_precision="high"),
     "meet": ModelSpec("meet", scale=1 / 255.0, offset=0.0, decode="two_channel"),

@@ -135,12 +135,13 @@ class BodyMega:
 
     def __init__(self, model, start: int, end: int, in_tid: int,
                  out_tid: int, *, interpret: bool = False,
-                 allow_spaced_output: bool = False):
+                 allow_spaced_output: bool = False, flat: bool = False):
         g = model.graph
         self.model = model
         self.interpret = interpret
         self.in_tid, self.out_tid = in_tid, out_tid
         self.allow_spaced_output = allow_spaced_output
+        self.flat = flat
         hp = model.host_params
         if hp is None:
             raise Unsupported("model has no host params")
@@ -153,12 +154,28 @@ class BodyMega:
                       vec=(s[1] == 1 and s[2] == 1))
 
         in_meta = nhwc_meta(in_tid)
-        # row stride: smallest power-of-two lane count fitting the widest
-        # row plus the depthwise reach (taps must not cross row blocks)
-        margin = 8  # max dj*sp reach we allow (5x5 at sp<=4, 3x3 at sp<=8)
-        self.rs = 128 if in_meta.w + margin <= 128 else 256
-        if in_meta.w + margin > 256:
-            raise Unsupported(f"row width {in_meta.w} too large")
+        if flat:
+            # FLAT layout (round 5): RS = row width exactly — spatial is
+            # densely packed (c, rows*w), no pad lanes.  Built for the
+            # post-prefix-cut 33x33 regime where the classic RS=128 rowpad
+            # wastes 3.9x of every lane (and 3.9x of every MXU dot MAC —
+            # the measured reason the round-4 continuation chain lost,
+            # PERF.md round 5).  SAME zero padding can no longer lean on
+            # zeroed pad lanes: row reach still uses explicit zero row
+            # padding, and column taps get per-tap 0/1 boundary masks
+            # (a dx-shift past a row's edge reads the next row's pixel —
+            # the mask kills exactly those lanes).  Geometry-changing ops
+            # (stride-2, 2x resize) are rejected: they would need lane
+            # gathers/re-strides that Mosaic cannot do.
+            self.rs = in_meta.w
+        else:
+            # row stride: smallest power-of-two lane count fitting the
+            # widest row plus the depthwise reach (taps must not cross
+            # row blocks)
+            margin = 8  # max dj*sp reach (5x5 at sp<=4, 3x3 at sp<=8)
+            self.rs = 128 if in_meta.w + margin <= 128 else 256
+            if in_meta.w + margin > 256:
+                raise Unsupported(f"row width {in_meta.w} too large")
         rs = self.rs
 
         self.meta: Dict[int, _T] = {in_tid: in_meta}
@@ -176,6 +193,12 @@ class BodyMega:
             return idx
 
         def mask_ref(meta: _T) -> int:
+            if flat and not meta.vec and meta.w == rs and meta.sp == 1:
+                # dense layout: every lane is populated — the grid mask is
+                # all-ones and the re-zero multiply is pure waste (SAME
+                # padding zeros come from the explicit DW row pads +
+                # column-boundary masks instead)
+                return -1
             return wref(_grid_mask(meta, rs), ("mask", meta.rows, meta.w,
                                                meta.sp))
 
@@ -247,21 +270,47 @@ class BodyMega:
                     # (deeplab/bodypix 33x33 stages); a dilated stride-2
                     # would need its own output-grid math — reject
                     raise Unsupported("dilated strided dw")
-                if m.w * m.sp + (fw - 1) * m.sp * dil > rs:
+                if flat and s != 1:
+                    # stride-2 output would need column compaction — an
+                    # intra-row lane gather the dense layout cannot express
+                    raise Unsupported("flat dw stride")
+                if not flat and m.w * m.sp + (fw - 1) * m.sp * dil > rs:
                     raise Unsupported("dw column reach exceeds row stride")
                 b = bias_of(node)
                 wi = wref(w[:, :, 0, :].reshape(fh * fw, m.c).T)  # (C, taps)
                 bi = wref((b if b is not None
                            else np.zeros(m.c)).reshape(m.c, 1))
+                plo_h = tflite_same_padding(m.rows, fh, s, dil)[0]
+                plo_w = tflite_same_padding(m.w, fw, s, dil)[0]
+                cm = None
+                if flat:
+                    # per-column-tap validity over the row-padded canvas:
+                    # after the dj = (tj*dil - plo_w) lane shift, position
+                    # (row, j) holds the neighbor row's pixel whenever
+                    # j + dj leaves [0, w) — zero exactly those lanes
+                    # (they are SAME zero padding).  Periodic in w with
+                    # whole-row padding, so one tiled vector per tap.
+                    padded_rows = m.rows + (fh - 1) * dil
+                    refs = []
+                    for tj in range(fw):
+                        djc = tj * dil - plo_w
+                        if djc == 0:  # own column — always valid
+                            refs.append(-1)
+                            continue
+                        rowm = np.zeros(rs, np.float32)
+                        j = np.arange(m.w)
+                        rowm[j[(j + djc >= 0) & (j + djc < m.w)]] = 1.0
+                        refs.append(wref(
+                            np.tile(rowm, padded_rows)[None, :],
+                            ("colmask", padded_rows, m.w, djc)))
+                    cm = tuple(refs)
                 if s == 1:
                     om = _T(m.c, m.rows, m.w, m.sp)
                 else:
                     om = _T(m.c, -(-m.rows // 2), -(-m.w // 2), m.sp * 2)
                 self.plan.append((
                     "dw", node.inputs[0], out, wi, bi, fh, fw, s, dil,
-                    tflite_same_padding(m.rows, fh, s, dil)[0],
-                    tflite_same_padding(m.w, fw, s, dil)[0],
-                    act_of(o), mask_ref(om)))
+                    plo_h, plo_w, act_of(o), mask_ref(om), cm))
                 self.meta[out] = om
             elif k == "FULLY_CONNECTED":
                 m = inmeta(node.inputs[0])
@@ -360,6 +409,10 @@ class BodyMega:
                         self.meta[out] = m
                         continue
                     raise Unsupported("same-size non-identity resize")
+                if flat:
+                    # a geometry-changing resize re-strides every row —
+                    # impossible in the dense layout without lane gathers
+                    raise Unsupported("flat geometry-changing resize")
                 if (oh, ow) != (2 * m.rows, 2 * m.w) or m.sp % 2:
                     raise Unsupported("non-2x resize")
                 ac = o.get("align_corners", False)
@@ -384,6 +437,13 @@ class BodyMega:
             else:  # pragma: no cover
                 raise Unsupported(k)
 
+        if flat:
+            # defense in depth: every spatial tensor must keep the dense
+            # (rows, w=rs, sp=1) geometry — the rejections above should
+            # make this unreachable
+            for mm in self.meta.values():
+                if not mm.vec and (mm.w != rs or mm.sp != 1):
+                    raise Unsupported("flat span geometry change")
         if out_tid not in self.meta:
             raise Unsupported("output tensor not produced by span")
         self.out_meta = self.meta[out_tid]
@@ -410,13 +470,19 @@ class BodyMega:
         rs = self.rs
         env = {self.in_tid: x}
         prec = self.model.precision_setting
+        dot3 = False
         if prec == jax.lax.Precision.HIGH:
             # Mosaic's dot lowering implements DEFAULT and HIGHEST only
-            # ("Unsupported dot precision: HIGH").  Run the in-kernel dots
-            # at HIGHEST — strictly more precise than the model's 3-pass
-            # setting, and the spans routed here keep their dot operands
-            # small (C<=72 prefixes / the segm bodies), so the extra
-            # passes cost ~1 us, not the full-model 1.4x.
+            # ("Unsupported dot precision: HIGH").  Prefix/full spans keep
+            # their dot operands small (C<=72 / the segm bodies), so the
+            # HIGHEST upgrade costs ~1 us and is strictly more precise.
+            # FLAT spans are the 33x33 C>=96 regime where dots are the
+            # MXU bill — emulate the model's own 3-pass bf16x3 HIGH
+            # exactly (hi/lo split, drop lo*lo) instead of paying
+            # HIGHEST's 6 passes: same numerics class as the XLA body
+            # this kernel replaces.
+            if self.flat:
+                dot3 = True
             prec = jax.lax.Precision.HIGHEST
         # Interpret mode runs on CPU, where DEFAULT-precision dots compute
         # in full f32; the real MXU truncates f32 inputs to bf16 at
@@ -430,20 +496,40 @@ class BodyMega:
         else:
             def dot_in(a):
                 return a
+        dims = (((1,), (0,)), ((), ()))
+
+        def do_dot(a, b):
+            if dot3:
+                # XLA's HIGH: a = ah + al, b = bh + bl (bf16 splits);
+                # ah@bh + ah@bl + al@bh, each a single native bf16 MXU
+                # pass with f32 accumulation; the lo*lo term is dropped
+                ah = a.astype(jnp.bfloat16)
+                al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                bh = b.astype(jnp.bfloat16)
+                bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def d(u, v):
+                    return jax.lax.dot_general(
+                        u, v, dims, precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+                return d(ah, bh) + d(ah, bl) + d(al, bh)
+            return jax.lax.dot_general(
+                dot_in(a), dot_in(b), dims,
+                precision=prec, preferred_element_type=jnp.float32)
+
         si = 0
         for p in self.plan:
             op = p[0]
             if op == "conv1x1":
                 _, tin, tout, wi, bi, act, mi = p
-                y = jax.lax.dot_general(
-                    dot_in(ws[wi]), dot_in(env[tin]), (((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32)
+                y = do_dot(ws[wi], env[tin])
                 y = _act_fn(act)(y + ws[bi])
                 if mi >= 0:
                     y = y * ws[mi]
                 env[tout] = y
             elif op == "dw":
-                _, tin, tout, wi, bi, fh, fw, s, dil, plo_h, plo_w, act, mi = p
+                (_, tin, tout, wi, bi, fh, fw, s, dil, plo_h, plo_w, act,
+                 mi, cm) = p
                 m = self.meta[tin]
                 om = self.meta[tout]
                 L = m.rows * rs
@@ -463,6 +549,10 @@ class BodyMega:
                         sh = jnp.pad(xp[:, :n + dj], ((0, 0), (-dj, 0)))
                     else:
                         sh = xp
+                    if cm is not None and cm[tj] >= 0:
+                        # flat layout: zero the lanes whose shifted source
+                        # column fell off the row (SAME zero padding)
+                        sh = sh * ws[cm[tj]]
                     for ti in range(fh):
                         off = ti * dil * rs
                         tap = sh[:, off:off + L]
@@ -475,11 +565,14 @@ class BodyMega:
                     acc = jnp.concatenate(
                         [acc[:, (2 * r) * rs:(2 * r + 1) * rs]
                          for r in range(om.rows)], axis=1)
-                y = _act_fn(act)(acc + ws[bi]) * ws[mi]
+                y = _act_fn(act)(acc + ws[bi])
+                if mi >= 0:
+                    y = y * ws[mi]
                 env[tout] = y
             elif op == "gpool":
                 _, tin, tout, mi, inv, act = p
-                y = jnp.sum(env[tin] * ws[mi], axis=1, keepdims=True) * inv
+                xg = env[tin] if mi < 0 else env[tin] * ws[mi]
+                y = jnp.sum(xg, axis=1, keepdims=True) * inv
                 env[tout] = _act_fn(act)(y)
             elif op == "binop":
                 _, k, a, b, tout, act = p
@@ -498,7 +591,12 @@ class BodyMega:
             elif op == "bcast":
                 _, tin, tout, mi = p
                 # (c, 1) vector -> constant over the populated grid lanes
-                env[tout] = env[tin] * ws[mi]
+                if mi >= 0:
+                    env[tout] = env[tin] * ws[mi]
+                else:  # dense layout: every lane populated
+                    om = self.meta[tout]
+                    env[tout] = jnp.broadcast_to(
+                        env[tin], (om.c, om.rows * rs))
             elif op == "concat":
                 _, tins, tout = p
                 env[tout] = jnp.concatenate([env[t] for t in tins], axis=0)
@@ -696,29 +794,35 @@ def _span_vmem_estimate(g, nodes, start: int, end: int, rs: int) -> int:
 def body_mega_continuation_for(model, info, start: int, in_tid: int, *,
                                interpret: bool = False,
                                budget_bytes: int = 40 * 2**20):
-    """Chain of compact-spacing megakernels over the body span after the
+    """Chain of FLAT-layout megakernels over the body span after the
     prefix cut (the 33x33 regime the prefix deliberately leaves to XLA).
 
     The round-4 rooflines showed that regime is NOT near any roof under
     XLA: deeplab's post-cut body traces 163 us of convolutions (three
     dilation-4 480-channel DWs at ~12.5 us each) plus ~50 us of relu6/
-    layout copies; bodypix 63 + 51 us.  In a compact (sp=1) rowpad
-    kernel the same span is weight-stationary MXU dots over (c, 33*128)
-    slabs, dilated-DW lane/row shifts, and zero relayouts.  The chain is
-    split at single-crossing boundaries whenever the pessimistic
-    all-live VMEM estimate exceeds ``budget_bytes`` (deeplab's full span
-    estimates ~147 MB against the 128 MB physical VMEM); consecutive
-    links pass (c, rows*RS) rowpad directly — the inter-kernel boundary
-    is HBM traffic only, a few hundred KB at the low-C crossing tensors.
+    layout copies; bodypix 63 + 51 us.  A first attempt ran it as
+    compact-spacing rowpad (RS=128) kernels and LOST (deeplab 409 vs
+    334 us, bodypix 305 vs 207): 33-wide rows use 33/128 of every lane,
+    so every MXU dot does 3.9x the MACs and every VPU op 3.9x the work.
+    The flat layout (BodyMega(flat=True), RS = row width, dense
+    (c, rows*33) spatial with per-tap column-boundary masks) removes
+    that multiplier: 1x1 convs are (co,ci)@(ci,1089) dots at 94% lane
+    occupancy, dilated DWs are 9 masked shift-FMAs, and the whole span
+    stays VMEM-resident.  The chain is split at single-crossing
+    boundaries whenever the pessimistic all-live VMEM estimate exceeds
+    ``budget_bytes``; consecutive links pass the dense rowpad directly —
+    the inter-kernel boundary is HBM traffic only.
 
     Returns (megas, end_node, out_tid) or None.  The caller bridges the
-    prefix's spaced rowpad output to compact rowpad (lane slice at sp +
-    pad to the new RS) and the final rowpad output to NHWC.
+    prefix's spaced rowpad output to the dense layout (lane slice at sp;
+    the pad-to-RS is a no-op at RS=w) and the final output to NHWC.
     """
     if getattr(model, "quantize_mode", None):
         return None
     g = model.graph
     nodes = g.nodes
+    in_shape = g.tensor(in_tid).shape
+    rs_est = int(in_shape[2]) if in_shape and len(in_shape) == 4 else 128
     megas: List[BodyMega] = []
     cur, cur_in = start, in_tid
     while cur < info.body_end:
@@ -749,11 +853,12 @@ def body_mega_continuation_for(model, info, start: int, in_tid: int, *,
                 crossing.add(info.body_out_tensor)
             if (len(crossing) == 1
                     and _span_vmem_estimate(g, nodes, cur, end,
-                                            128) <= budget_bytes):
+                                            rs_est) <= budget_bytes):
                 tid = next(iter(crossing))
                 try:
                     built = (BodyMega(model, cur, end, cur_in, tid,
-                                      interpret=interpret), end, tid)
+                                      interpret=interpret, flat=True),
+                             end, tid)
                     break
                 except Unsupported:
                     pass

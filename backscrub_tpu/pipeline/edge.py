@@ -576,13 +576,21 @@ class EdgeFused:
             # early stages (129x129/65x65, C<=72) as one rowpad kernel and
             # hand the cut tensor to the XLA lowerings, which run the
             # 33x33 C>=96 stages near the MXU roof (PERF.md round 4).
-            # The OPT-IN continuation chain (cont=True) keeps going through
-            # the 33x33 regime as chained compact-spacing (sp=1) rowpad
-            # kernels — bit-exact on TPU but a measured LOSS (deeplab 409
-            # vs 334 us, bodypix 305 vs 207: per-pallas-call overhead plus
-            # the ~3.9x lane padding of 33-wide rows at RS=128 swamps the
-            # relayout copies it eliminates; PERF.md round 5) — kept for
-            # A/B probes (tools/probe_cont.py), never auto-selected.
+            # The FLAT continuation chain (cont=True) keeps going through
+            # the 33x33 regime as chained dense-layout kernels
+            # (BodyMega(flat=True): RS = row width, per-tap column
+            # boundary masks, 3-pass HIGH dot emulation).  Byte-exact
+            # decode parity on TPU; measured per family on the real chip
+            # (tools/probe_cont.py, same-session A/Bs): a WIN for deeplab
+            # (266.1 vs 280.8 us) — its span is MXU-dot-heavy — and a
+            # LOSS for bodypix (~195 vs 167.6 us: 7 dilation-2 C=256 DWs
+            # whose VPU traversal bill beats XLA's conv emitter), so the
+            # default comes from ModelSpec.edge_cont.  Two earlier
+            # formulations lost for BOTH families and are superseded:
+            # RS=128 rowpad (deeplab 409/bodypix 305 us — 3.9x lane
+            # padding multiplies every dot MAC) and shift-decomposed
+            # dilated DWs under XLA (BACKSCRUB_DW_DILATED=shift, 196 vs
+            # 167.9 / 286.8 vs 281.2).  PERF.md round 5 has the table.
             from ..ops.megakernel import (body_mega_continuation_for,
                                           body_mega_prefix_for)
             r = body_mega_prefix_for(model, info, interpret=interpret)

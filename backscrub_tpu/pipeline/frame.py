@@ -68,11 +68,12 @@ class PipelineConfig:
                                      # inside the edge path. None = auto
                                      # (on when the span qualifies);
                                      # False = XLA body lowerings
-    edge_cont: bool = False          # OPT-IN continuation chain after the
-                                     # prefix cut (deeplab/bodypix): bit-
-                                     # exact but measured slower than the
-                                     # XLA body (PERF.md round 5) — for
-                                     # A/B probes only
+    edge_cont: Optional[bool] = None  # flat continuation chain after the
+                                     # prefix cut. None = per-family
+                                     # default (ModelSpec.edge_cont:
+                                     # measured win for deeplab, loss for
+                                     # bodypix — PERF.md round 5);
+                                     # True/False forces for A/B probes
     chroma_order: str = "reference"  # or "yuy2" for spec-correct output
     correct_colors: bool = False     # True: proper BGR->RGB before YUV pack
     output_format: str = "yuyv"      # "yuyv" | "bgr" (debug/file sink) |

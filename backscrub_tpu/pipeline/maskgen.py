@@ -213,7 +213,7 @@ class MaskGen:
                  edge_fused: Optional[bool] = None,
                  edge_interpret: bool = False,
                  edge_mega: Optional[bool] = None,
-                 edge_cont: bool = False,
+                 edge_cont: Optional[bool] = None,
                  onprep: Optional[Callable] = None,
                  oninfer: Optional[Callable] = None,
                  onmask: Optional[Callable] = None,
@@ -283,7 +283,8 @@ class MaskGen:
                         use_bilateral=use_bilateral, precision=precision,
                         interpret=not _on_tpu(), refine=refine, morph=morph,
                         u8_exact=self.u8_exact_post, mega=edge_mega,
-                        cont=edge_cont)
+                        cont=(self.spec.edge_cont if edge_cont is None
+                              else edge_cont))
                 elif edge_fused:
                     raise ValueError(
                         "edge_fused=True but the model/post configuration "
