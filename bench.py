@@ -524,7 +524,8 @@ def run_config_sweep(names=None, merge=False):
         except Exception as e:  # keep the sweep robust
             results[name] = {"error": str(e)[:200]}
             print(f"  {name:30s} ERROR {e}", file=sys.stderr)
-    atomic_json_dump(results, "BENCH_DETAILS.json")
+        # checkpoint after every config: a killed sweep keeps its progress
+        atomic_json_dump(results, "BENCH_DETAILS.json")
     return results
 
 
