@@ -165,6 +165,10 @@ def main(argv=None) -> int:
     ap.add_argument("--rss-budget-mb", type=float, default=200.0)
     ap.add_argument("--sigterm", action="store_true",
                     help="send SIGTERM to this process halfway through")
+    ap.add_argument("--sigterm-at", type=float, default=0.0,
+                    help="with --sigterm: fire at this many seconds instead "
+                    "of duration/2 (lets a long soak drain near its end, so "
+                    "the recorded duration is the soak, not the half-life)")
     ap.add_argument("--report", default="soak_report.json")
     ap.add_argument("--edge", action="store_true",
                     help="force the fused edge path (+ megakernel when the "
@@ -212,7 +216,7 @@ def main(argv=None) -> int:
     stop = threading.Event()
     signal.signal(signal.SIGTERM, lambda *_: stop.set())
     if args.sigterm and args.duration:
-        t = threading.Timer(args.duration / 2,
+        t = threading.Timer(args.sigterm_at or args.duration / 2,
                             lambda: os.kill(os.getpid(), signal.SIGTERM))
         t.daemon = True
         t.start()
