@@ -608,7 +608,7 @@ def run_parity_check():
         m_on = np.asarray(e_on.step(f, bgf)[1])
         m_off = np.asarray(e_off.step(f, bgf)[1])
         d = np.abs(m_on.astype(np.int32) - m_off.astype(np.int32))
-        ok = int(d.max()) <= 1 and (d > 0).mean() <= 0.005
+        ok = int(d.max()) <= 1 and float((d > 0).mean()) <= 0.005
         edge_ok = edge_ok and ok
     record["edge_tolerance_ok"] = edge_ok
     print(f"  fused edge path within tolerance of classic lowerings: "
