@@ -30,6 +30,16 @@ def _apply_platform_override():
     try:
         import jax
         jax.config.update("jax_platforms", plat)
+        if plat != "cpu":
+            # An accelerator request must survive environments where the
+            # chip registers under a different platform name (the tunneled
+            # deployment chip is platform "axon", so jax_platforms="tpu"
+            # raises "No jellyfish device found").  Probe now and fall back
+            # to JAX's automatic choice, which prefers the accelerator.
+            try:
+                jax.devices()
+            except RuntimeError:
+                jax.config.update("jax_platforms", None)
     except Exception:  # pragma: no cover - best-effort
         pass
 
